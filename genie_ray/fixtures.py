@@ -1,0 +1,152 @@
+"""Deterministic synthetic fixtures: catalogs + source-code documents.
+
+Implements FIXTURES.md §1-2: a Parquet-shaped ``documents`` table with the
+BASELINE.json ``input_hint`` columns ``(repo, path, commit, lang, content)``
+whose content embeds 0-5 "fact sentences" built from the catalogs, and
+entity / relation catalogs with the adversarial cases the reference's
+pre-processing handles: a deliberate title-collision pair (exercises the
+title-dedup anti-join, reference `utils.py:39-104`), surfaces that are
+prefixes of other surfaces (trie branch sharing, `trie.py:44-63`),
+surfaces containing ``.`` and multiple tokens, and ~5% ``en_label``
+provenance rows (drives `title`/`label`/`no_match` status logic,
+`triplet_utils.py:59-66`).
+
+Everything is a pure function of ``(seed, row index)`` — regenerating any
+subset of rows (e.g. on a retried Ray block) yields identical bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from .core.catalog import EN_LABEL, EN_TITLE, Catalog
+
+LANGS = ("py", "js", "go", "rs", "java")
+
+_ENT_WORDS1 = ("Alpha", "Beta", "Gamma", "Delta", "Omega", "Sigma", "Kappa", "Lambda", "Theta", "Zeta")
+_ENT_WORDS2 = ("Engine", "Parser", "Kernel", "Module", "Library", "Framework", "Daemon", "Service", "Driver", "Toolkit")
+_REL_VERBS = (
+    "depends on", "imports", "extends", "implements", "calls", "wraps",
+    "configures", "exports", "reexports", "links against", "tests",
+    "documents", "builds with", "deprecates", "replaces", "vendored from",
+    "forked from", "maintained by", "licensed under", "packaged as",
+)
+_FILLER = (
+    "zzfn", "zzvar", "zzret", "zzloop", "zzcall", "zzif", "zzelse", "zzcls",
+    "zzdef", "zzimport", "zzasync", "zzawait", "zzyield", "zzpass", "zztry",
+)
+
+
+def sha256_hex(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def make_catalogs(n_entities: int = 500, n_relations: int = 40) -> Tuple[Catalog, Catalog]:
+    """Deterministic catalogs with the FIXTURES.md §2 adversarial cases."""
+    ent_rows: List[Tuple[str, str, str]] = []
+    for i in range(n_entities):
+        w1 = _ENT_WORDS1[i % len(_ENT_WORDS1)]
+        w2 = _ENT_WORDS2[(i // len(_ENT_WORDS1)) % len(_ENT_WORDS2)]
+        surface = f"{w1} {w2} {i}"  # unique by construction
+        provenance = EN_LABEL if i % 20 == 13 else EN_TITLE
+        ent_rows.append((f"Q{i + 1}", surface, provenance))
+    n = n_entities
+    # deliberate adversarial rows (FIXTURES.md §2):
+    # prefix-sharing pair (trie branch sharing + longest-match)
+    ent_rows.append((f"Q{n + 1}", "Alpha Prefix", EN_TITLE))
+    ent_rows.append((f"Q{n + 2}", "Alpha Prefix Extended", EN_TITLE))
+    # surface containing '.' (multi-token through the punctuation splitter)
+    ent_rows.append((f"Q{n + 3}", "pkg.module", EN_TITLE))
+    # title-collision pair → BOTH dropped by dedup_surfaces()
+    ent_rows.append((f"Q{n + 4}", "Collision Target", EN_TITLE))
+    ent_rows.append((f"Q{n + 5}", "Collision Target", EN_TITLE))
+
+    rel_rows: List[Tuple[str, str, str]] = []
+    for j in range(n_relations):
+        verb = _REL_VERBS[j % len(_REL_VERBS)]
+        surface = verb if j < len(_REL_VERBS) else f"{verb} v{j // len(_REL_VERBS)}"
+        provenance = EN_LABEL if j % 20 == 13 else EN_TITLE
+        rel_rows.append((f"P{j + 1}", surface, provenance))
+    return Catalog(ent_rows), Catalog(rel_rows)
+
+
+def _doc_content(
+    i: int,
+    seed: int,
+    ent_surfaces: List[str],
+    rel_surfaces: List[str],
+) -> Tuple[str, List[Tuple[str, str, str]]]:
+    """Content + planted facts for document ``i`` (pure function of inputs)."""
+    rng = np.random.default_rng([seed, i])
+    n_facts = int(rng.integers(0, 6))  # 0-5 fact sentences (FIXTURES.md §1)
+    lines: List[str] = []
+    facts: List[Tuple[str, str, str]] = []
+    n_filler_lines = int(rng.integers(2, 8))
+    for _ in range(n_filler_lines):
+        k = int(rng.integers(3, 9))
+        toks = rng.choice(len(_FILLER), size=k)
+        lines.append(" ".join(_FILLER[t] for t in toks) + ".")
+    for _ in range(n_facts):
+        s = ent_surfaces[int(rng.integers(0, len(ent_surfaces)))]
+        r = rel_surfaces[int(rng.integers(0, len(rel_surfaces)))]
+        o = ent_surfaces[int(rng.integers(0, len(ent_surfaces)))]
+        facts.append((s, r, o))
+        pos = int(rng.integers(0, len(lines) + 1))
+        lines.insert(pos, f"{s} {r} {o}.")
+    content = " ".join(lines)
+    if i % 100 == 99:  # 1% very long rows — skew handling (FIXTURES.md §1)
+        pad_words = int(rng.integers(15_000, 70_000))
+        toks = rng.choice(len(_FILLER), size=pad_words)
+        content = content + " " + " ".join(_FILLER[t] for t in toks) + "."
+    return content, facts
+
+
+def make_documents(
+    n_docs: int = 200,
+    seed: int = 42,
+    entities: Optional[Catalog] = None,
+    relations: Optional[Catalog] = None,
+    with_facts: bool = False,
+):
+    """The ``documents`` table (BASELINE.json input_hint shape). Fact
+    surfaces are drawn from the title-deduped catalogs so every planted
+    fact is extractable and canonicalizable."""
+    if entities is None or relations is None:
+        entities, relations = make_catalogs()
+    ents = entities.dedup_surfaces().surfaces()
+    rels = relations.dedup_surfaces().surfaces()
+    repo, path, commit, lang, content = [], [], [], [], []
+    all_facts: List[List[Tuple[str, str, str]]] = []
+    for i in range(n_docs):
+        repo.append(f"org{i % 7}/repo{i % 23}")
+        ext = LANGS[i % len(LANGS)]
+        path.append(f"src/mod{i % 11}/file{i}.{ext}")
+        commit.append(sha256_hex(f"commit{i}")[:40])
+        lang.append(ext)
+        c, facts = _doc_content(i, seed, ents, rels)
+        content.append(c)
+        all_facts.append(facts)
+    table = pa.table(
+        {
+            "repo": pa.array(repo, pa.string()),
+            "path": pa.array(path, pa.string()),
+            "commit": pa.array(commit, pa.string()),
+            "lang": pa.array(lang, pa.string()),
+            "content": pa.array(content, pa.large_string()),
+        }
+    )
+    if with_facts:
+        return table, all_facts
+    return table
+
+
+def write_documents_parquet(path: str, n_docs: int = 200, seed: int = 42) -> str:
+    import pyarrow.parquet as pq
+
+    table = make_documents(n_docs=n_docs, seed=seed)
+    pq.write_table(table, path)
+    return path
