@@ -20,8 +20,33 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG-construction pipeline at smoke scale.
+
+    The KG input table has the BASELINE.json ``input_hint`` shape
+    ``(repo, path, commit, lang, content)``; it is synthesized
+    deterministically (seed 42) at sf0.001-comparable scale, then streamed
+    through read → doc_id/sha256 → extract (actor pool) → parse →
+    canonicalize → per-partition lineage write → global triple dedup →
+    graph. Returns the graph Dataset (stable schema: subj_id, pred_id,
+    obj_id, support, doc_ids).
+    """
+    import os
+    import shutil
+
+    import ray.data
+
+    from genie_ray.fixtures import write_documents_parquet
+    from genie_ray.pipelines.kg import KGConfig, run_kg_pipeline
+
+    base = "/tmp/genie_ray_entry"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    input_path = os.path.join(base, "documents.parquet")
+    write_documents_parquet(input_path, n_docs=500, seed=42)
+    out = os.path.join(base, "out")
+    run_kg_pipeline(input_path, out, cfg=KGConfig(num_partitions=8, num_buckets=4,
+                                                  concurrency=2, batch_size=32))
+    return ray.data.read_parquet(os.path.join(out, "graph"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

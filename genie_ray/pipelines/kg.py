@@ -1,0 +1,228 @@
+"""Flagship KG-construction pipeline, Ray-Data-first.
+
+End-to-end re-expression of the reference's evaluate entry point
+(`/root/reference/genie/evaluate.py` + `genie_base_pl.py:194-297`) as a
+streaming Dataset pipeline (SURVEY.md §7.1 steps 3-6):
+
+    read_parquet(documents)                      # streaming, pruned
+    → prepare (doc_id=sha256(content), part)     # stateless Arrow map
+    → [skew split: long-content branch]          # explicit skew routing
+    → ExtractTriples actor pool                  # state loaded once/actor
+    → parse linearizations                       # stateless Arrow map
+    → canonicalize (broadcast catalogs)          # map-side join, no shuffle
+    → groupby(part).map_groups(atomic write)     # per-partition lineage
+    then
+    build_graph: read triples → partial agg → groupby(bucket) → sorted
+    per-bucket graph Parquet with manifests (exact global dedup D5).
+
+Both stages are resumable: finished partitions/buckets (manifest exists)
+are filtered out of the INPUT with a vectorized hash filter, so a rerun
+only pays for unfinished work.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..sources.documents import prepare_documents, read_documents
+from ..stages.canonicalize import CanonicalizeTriples
+from ..stages.dedup import merge_triple_partials, partial_triple_agg
+from ..stages.extract import ExtractTriples
+from ..stages.parse import parse_predictions_batch
+from ..state import lineage
+from ..state.broadcast import put_world
+
+
+@dataclass
+class KGConfig:
+    """Sizing note: ``concurrency`` (extract pool) + ``concurrency // 2``
+    (canonicalize pool) must leave CPUs free for the task-pool operators
+    (read, partition write) or the streaming executor starves — size the
+    pools to ~2/3 of the node, not all of it."""
+
+    num_partitions: int = 16
+    num_buckets: int = 8
+    batch_size: int = 64
+    concurrency: int = 4
+    max_doc_ids: int = 20
+    num_beams: int = 10
+    resume: bool = True
+
+
+def _filter_parts(ds: ray.data.Dataset, done: set) -> ray.data.Dataset:
+    if not done:
+        return ds
+    done_arr = pa.array(sorted(done), pa.int32())
+    return ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["part"], value_set=done_arr))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def extract_to_triples(
+    input_path: str,
+    triples_dir: str,
+    world_ref,
+    cfg: Optional[KGConfig] = None,
+) -> ray.data.Dataset:
+    """Stage A (resumable): documents → canonical triples, one Parquet +
+    manifest per doc-hash partition. Returns the small per-partition
+    summary Dataset."""
+    cfg = cfg or KGConfig()
+    done = lineage.finished_partitions(triples_dir) if cfg.resume else set()
+
+    ds = read_documents(input_path)
+    ds = prepare_documents(ds, num_partitions=cfg.num_partitions)
+    ds = _filter_parts(ds, done)
+
+    # explicit skew handling (north rule): cluster rows by content length
+    # within each block so a 500KB document lands in a batch of its peers
+    # instead of straggling a batch of 64 short rows; extraction cost is
+    # ~linear in chars, so length-homogeneous batches equalize batch wall
+    # time and the streaming executor pipelines them. Single pass — a
+    # predicate-split into two branch Datasets would re-execute the read
+    # for each branch.
+    ds = ds.map_batches(
+        lambda t: t.sort_by("n_chars"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    gens = ds.map_batches(
+        ExtractTriples,
+        fn_constructor_kwargs={"world_ref": world_ref, "num_beams": cfg.num_beams},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.concurrency,
+    )
+
+    triples = gens.map_batches(
+        parse_predictions_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    canon = triples.map_batches(
+        CanonicalizeTriples,
+        fn_constructor_kwargs={"world_ref": world_ref},
+        batch_format="pyarrow",
+        concurrency=max(1, cfg.concurrency // 2),
+    )
+
+    def write_part(group: pa.Table) -> pa.Table:
+        part = int(group["part"][0].as_py())
+        # deterministic layout: sort rows; null marker rows excluded from
+        # the data file but counted in the manifest
+        data = group.filter(pc.is_valid(group["subj"]))
+        data = data.sort_by(
+            [(c, "ascending") for c in ("doc_id", "subj", "pred", "obj")]
+        )
+        manifest = lineage.write_partition(
+            data.select(
+                [
+                    "doc_id", "subj", "pred", "obj",
+                    "subj_id", "pred_id", "obj_id", "matched", "match_status",
+                ]
+            ),
+            triples_dir,
+            part,
+            extra_meta={
+                "num_input_docs": len(set(group["doc_id"].to_pylist())),
+                # digest over ALL input docs of the partition (incl. docs
+                # that produced zero triples) — the per-row sha invariant
+                "input_content_sha256_digest": lineage.content_digest(
+                    group["doc_id"].to_pylist()
+                ),
+                "input_path": os.path.abspath(input_path),
+            },
+        )
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "num_rows": pa.array([manifest["num_rows"]], pa.int64()),
+                "num_docs": pa.array([manifest["num_input_docs"]], pa.int64()),
+            }
+        )
+
+    return canon.groupby("part").map_groups(write_part, batch_format="pyarrow")
+
+
+def build_graph(
+    triples_dir: str,
+    graph_dir: str,
+    cfg: Optional[KGConfig] = None,
+) -> ray.data.Dataset:
+    """Stage B (resumable): triples Parquet → deduped graph, one sorted
+    Parquet + manifest per triple-hash bucket."""
+    cfg = cfg or KGConfig()
+    done = lineage.finished_partitions(graph_dir, prefix="bucket") if cfg.resume else set()
+
+    ds = ray.data.read_parquet(
+        triples_dir,
+        columns=["doc_id", "subj_id", "pred_id", "obj_id", "matched"],
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(t["matched"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    partial = ds.map_batches(
+        partial_triple_agg,
+        fn_kwargs={"num_buckets": cfg.num_buckets, "max_doc_ids": cfg.max_doc_ids},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if done:
+        done_arr = pa.array(sorted(done), pa.int32())
+        partial = partial.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t["bucket"], value_set=done_arr))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    max_doc_ids = cfg.max_doc_ids
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        bucket = int(group["bucket"][0].as_py())
+        merged = merge_triple_partials(group, max_doc_ids=max_doc_ids)
+        manifest = lineage.write_partition(
+            merged, graph_dir, bucket, prefix="bucket", doc_id_col="__none__"
+        )
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], pa.int32()),
+                "num_triples": pa.array([manifest["num_rows"]], pa.int64()),
+            }
+        )
+
+    return partial.groupby("bucket").map_groups(write_bucket, batch_format="pyarrow")
+
+
+def run_kg_pipeline(
+    input_path: str,
+    output_dir: str,
+    world=None,
+    cfg: Optional[KGConfig] = None,
+):
+    """Full run: extraction stage then graph stage. Returns the two small
+    summary tables (per-partition, per-bucket)."""
+    from ..fixtures import make_catalogs
+    from ..core.world import World
+
+    cfg = cfg or KGConfig()
+    if world is None:
+        entities, relations = make_catalogs()
+        world = World.build(entities, relations)
+    world_ref = put_world(world) if not isinstance(world, ray.ObjectRef) else world
+
+    triples_dir = os.path.join(output_dir, "triples")
+    graph_dir = os.path.join(output_dir, "graph")
+    part_summary = extract_to_triples(input_path, triples_dir, world_ref, cfg)
+    parts = part_summary.to_pandas()  # small: one row per partition
+    graph_summary = build_graph(triples_dir, graph_dir, cfg)
+    buckets = graph_summary.to_pandas()  # small: one row per bucket
+    return parts, buckets

@@ -1,0 +1,108 @@
+"""Global triple dedup / support aggregation — the graph's wide step.
+
+The reference never materializes a global graph; its set semantics
+(`triplet_set_f1.py:15-17`) imply exact triple dedup (SURVEY.md §2.7 D5).
+Here it is the two-phase aggregate the Ray guide prescribes:
+
+1. **partial** (``map_batches``, no shuffle): within each batch, group by
+   ``(subj_id, pred_id, obj_id)``, emitting one row per distinct triple
+   with a partial ``support`` count and a capped, sorted sample of
+   supporting ``doc_ids`` — this collapses the heavy per-document
+   duplication BEFORE the exchange, so the all-to-all shuffle moves one
+   row per (batch × distinct triple), not one per occurrence;
+2. **final** (``groupby(bucket).map_groups``): hash-bucket on the triple
+   key, merge partials per triple, cap the doc-id sample at
+   ``max_doc_ids`` (unbounded lists for hot triples would reintroduce
+   skew), sort lexicographically, and write each bucket atomically with a
+   lineage manifest.
+
+The bucket count is the graph's output partitioning; hot-key skew is
+bounded because after partial aggregation a triple contributes at most one
+row per upstream batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import pyarrow as pa
+
+TRIPLE_COLS = ["subj_id", "pred_id", "obj_id"]
+
+
+def _hash_bucket(key: str, num_buckets: int) -> int:
+    # deterministic across processes (no PYTHONHASHSEED dependence)
+    import hashlib
+
+    return int.from_bytes(hashlib.sha1(key.encode()).digest()[:4], "big") % num_buckets
+
+
+def partial_triple_agg(batch: pa.Table, num_buckets: int, max_doc_ids: int) -> pa.Table:
+    """Batch-local combine: (bucket, triple, support, doc_ids-sample)."""
+    agg: Dict[tuple, List] = {}
+    subj = batch["subj_id"].to_pylist()
+    pred = batch["pred_id"].to_pylist()
+    obj = batch["obj_id"].to_pylist()
+    docs = batch["doc_id"].to_pylist()
+    for s, r, o, d in zip(subj, pred, obj, docs):
+        if s is None or r is None or o is None:
+            continue
+        k = (s, r, o)
+        got = agg.get(k)
+        if got is None:
+            agg[k] = [1, {d}]
+        else:
+            got[0] += 1
+            if len(got[1]) < max_doc_ids:
+                got[1].add(d)
+    b_s, b_r, b_o, b_n, b_d, b_b = [], [], [], [], [], []
+    for (s, r, o), (n, ds) in agg.items():
+        b_s.append(s)
+        b_r.append(r)
+        b_o.append(o)
+        b_n.append(n)
+        b_d.append(sorted(ds)[:max_doc_ids])
+        b_b.append(_hash_bucket(f"{s}|{r}|{o}", num_buckets))
+    return pa.table(
+        {
+            "bucket": pa.array(b_b, pa.int32()),
+            "subj_id": pa.array(b_s, pa.string()),
+            "pred_id": pa.array(b_r, pa.string()),
+            "obj_id": pa.array(b_o, pa.string()),
+            "support": pa.array(b_n, pa.int64()),
+            "doc_ids": pa.array(b_d, pa.list_(pa.string())),
+        }
+    )
+
+
+def merge_triple_partials(group: pa.Table, max_doc_ids: int) -> pa.Table:
+    """Per-bucket final merge: sum supports, union+cap doc-id samples,
+    lexicographic sort (deterministic, resumable layout)."""
+    agg: Dict[tuple, List] = {}
+    subj = group["subj_id"].to_pylist()
+    pred = group["pred_id"].to_pylist()
+    obj = group["obj_id"].to_pylist()
+    sup = group["support"].to_pylist()
+    docs = group["doc_ids"].to_pylist()
+    for s, r, o, n, ds in zip(subj, pred, obj, sup, docs):
+        k = (s, r, o)
+        got = agg.get(k)
+        if got is None:
+            agg[k] = [n, set(ds)]
+        else:
+            got[0] += n
+            if len(got[1]) < max_doc_ids:
+                got[1].update(ds)
+    keys = sorted(agg.keys())
+    return pa.table(
+        {
+            "subj_id": pa.array([k[0] for k in keys], pa.string()),
+            "pred_id": pa.array([k[1] for k in keys], pa.string()),
+            "obj_id": pa.array([k[2] for k in keys], pa.string()),
+            "support": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "doc_ids": pa.array(
+                [sorted(agg[k][1])[:max_doc_ids] for k in keys],
+                pa.list_(pa.string()),
+            ),
+        }
+    )

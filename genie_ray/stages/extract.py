@@ -1,0 +1,78 @@
+"""Extraction stage: documents → per-document top-1 linearization.
+
+The Ray-Data form of the reference's ``test_step``
+(`/root/reference/genie/models/genie_base_pl.py:194-248`): a stateful actor
+pool (``map_batches(ExtractTriples, concurrency=N, batch_size=B)``) whose
+per-actor state — tokenizer, tries, FSM, extractor — is fetched once from
+the object store in ``__init__`` (the reference loads the same state once
+per DDP process, `genie_base_pl.py:69-94`). Each ``__call__`` maps one
+Arrow batch of documents to ``(doc_id, prediction, log_prob, n_beams)``
+rows: beams are generated per document, sorted by log-prob descending
+(`genie_base_pl.py:535-536`), and top-1 selected with sentinel-null
+semantics (`:229-239`).
+
+``content`` is dropped here — only ``doc_id`` and the prediction flow
+downstream (SURVEY.md §7.4 "never carry content past the generation
+stage"). With ``save_full_beams`` every beam is emitted instead
+(reference `configs/model/inference/default.yaml:22`).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..core.extractor import select_top1
+from ..state.broadcast import get_world
+
+
+class ExtractTriples:
+    """Actor-pool callable: one World fetch per actor, per-batch generate."""
+
+    def __init__(self, world_ref, num_beams: int = 10, validate_with_fsm: bool = False,
+                 save_full_beams: bool = False):
+        world = get_world(world_ref)
+        self.extractor = world.make_extractor(
+            num_beams=num_beams, validate_with_fsm=validate_with_fsm
+        )
+        self.save_full_beams = save_full_beams
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        contents = batch["content"].to_pylist()
+        parts = batch["part"].to_pylist() if "part" in batch.column_names else [0] * len(doc_ids)
+
+        if self.save_full_beams:
+            o_doc, o_part, o_rank, o_text, o_lp = [], [], [], [], []
+            for did, part, content in zip(doc_ids, parts, contents):
+                for rank, beam in enumerate(self.extractor.generate(did, content)):
+                    o_doc.append(did)
+                    o_part.append(part)
+                    o_rank.append(rank)
+                    o_text.append(beam.text)
+                    o_lp.append(beam.log_prob)
+            return pa.table(
+                {
+                    "doc_id": pa.array(o_doc, pa.string()),
+                    "part": pa.array(o_part, pa.int32()),
+                    "beam_rank": pa.array(o_rank, pa.int32()),
+                    "prediction": pa.array(o_text, pa.string()),
+                    "log_prob": pa.array(o_lp, pa.float64()),
+                }
+            )
+
+        preds, lps, nbeams = [], [], []
+        for did, content in zip(doc_ids, contents):
+            beams = self.extractor.generate(did, content)
+            top = select_top1(beams)
+            preds.append(top)
+            lps.append(beams[0].log_prob if beams else float("-inf"))
+            nbeams.append(len(beams))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "part": pa.array(parts, pa.int32()),
+                "prediction": pa.array(preds, pa.string()),
+                "log_prob": pa.array(lps, pa.float64()),
+                "n_beams": pa.array(nbeams, pa.int32()),
+            }
+        )
