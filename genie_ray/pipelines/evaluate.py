@@ -1,0 +1,278 @@
+"""Distributed evaluation pipeline: micro / macro / bucket / zero-shot
+triple-set metrics + bootstrap CIs.
+
+Re-expresses the reference's evaluators (`/root/reference/genie/utils/
+evaluators.py`, `evaluation.py`, `genie/metrics/*`) over Ray Data:
+
+* predictions ⋈ targets by ``doc_id`` (SURVEY.md §2.4 J3) instead of the
+  reference's positional zip (`evaluators.py:28-31`) — implemented as a
+  tagged union + ``groupby(doc_id)`` co-group so Ray's unordered streaming
+  execution is safe;
+* per-document set-semantics counters (G4) computed inside the group, then
+  summed distributedly — the Ray Data form of torchmetrics'
+  ``dist_reduce_fx="sum"`` (`triplet_set_f1.py:9-11`);
+* per-relation counters for macro metrics (G5): every doc's sets filtered
+  to one relation (`evaluation.py:29-30`) reduces to exploded-triple
+  counting co-grouped on ``(doc_id, subj, rel, obj)``;
+* macro average = unweighted mean over relations with ≥1 target occurrence
+  (`evaluators.py:84-89,140-147`);
+* bucket metrics (G6): relations bucketed by floor(log2(train occurrence))
+  (`plot_helpers.py:19-31`), metrics per bucket from the same per-relation
+  counters;
+* bootstrap (G8): 50 doc-level resamples with replacement, ``random.seed(
+  123)``, mean ± sample std (`evaluation.py:12-26`) — driver-side over the
+  tiny per-doc counter table, resampling counters, not data.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Dict, Optional, Sequence
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..core.linearization import parse_linearization
+from ..core.metrics import MetricCounters
+
+
+def _parse_side(batch: pa.Table, side: str) -> pa.Table:
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["linearization"].to_pylist()
+    o_doc, o_s, o_r, o_o, o_side = [], [], [], [], []
+    for did, text in zip(doc_ids, texts):
+        triples = parse_linearization(text)
+        if not triples:
+            # empty-set marker row: the doc must exist in the co-group even
+            # with zero triples (counts toward predicted/target totals)
+            o_doc.append(did)
+            o_s.append(None)
+            o_r.append(None)
+            o_o.append(None)
+            o_side.append(side)
+            continue
+        for s, r, o in sorted(triples):
+            o_doc.append(did)
+            o_s.append(s)
+            o_r.append(r)
+            o_o.append(o)
+            o_side.append(side)
+    return pa.table(
+        {
+            "doc_id": pa.array(o_doc, pa.string()),
+            "subj": pa.array(o_s, pa.string()),
+            "rel": pa.array(o_r, pa.string()),
+            "obj": pa.array(o_o, pa.string()),
+            "side": pa.array(o_side, pa.string()),
+        }
+    )
+
+
+def parse_sides(
+    predictions: ray.data.Dataset, targets: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Both inputs: (doc_id, linearization). Output: tagged exploded
+    triples, unioned (one streaming pass per side, no materialize)."""
+    p = predictions.map_batches(
+        _parse_side, fn_kwargs={"side": "pred"}, batch_format="pyarrow"
+    )
+    t = targets.map_batches(
+        _parse_side, fn_kwargs={"side": "target"}, batch_format="pyarrow"
+    )
+    return p.union(t)
+
+
+def per_doc_counters(tagged: ray.data.Dataset) -> ray.data.Dataset:
+    """groupby(doc_id) co-group → one (doc_id, correct, predicted, target)
+    row per document (G4, `triplet_set_f1.py:14-20`)."""
+
+    def count_group(g: pa.Table) -> pa.Table:
+        did = g["doc_id"][0].as_py()
+        pred, targ = set(), set()
+        for s, r, o, side in zip(
+            g["subj"].to_pylist(),
+            g["rel"].to_pylist(),
+            g["obj"].to_pylist(),
+            g["side"].to_pylist(),
+        ):
+            if s is None:
+                continue
+            (pred if side == "pred" else targ).add((s, r, o))
+        return pa.table(
+            {
+                "doc_id": pa.array([did], pa.string()),
+                "correct": pa.array([len(pred & targ)], pa.int64()),
+                "predicted": pa.array([len(pred)], pa.int64()),
+                "target": pa.array([len(targ)], pa.int64()),
+            }
+        )
+
+    return tagged.groupby("doc_id").map_groups(count_group, batch_format="pyarrow")
+
+
+def micro_metrics_distributed(
+    predictions: ray.data.Dataset, targets: ray.data.Dataset
+) -> Dict:
+    """G1-G3: global micro P/R/F1 via summed per-doc counters."""
+    counters = per_doc_counters(parse_sides(predictions, targets))
+    sums = counters.sum(["correct", "predicted", "target"])
+    c = MetricCounters(
+        int(sums["sum(correct)"]), int(sums["sum(predicted)"]), int(sums["sum(target)"])
+    )
+    return c.as_dict()
+
+
+def per_relation_counters(tagged: ray.data.Dataset) -> pd.DataFrame:
+    """G5 support: co-group exploded triples on the full quad key, emit
+    per-relation partial counts, sum by relation. Returns the small
+    (#relations) pandas frame: rel, correct, predicted, target."""
+
+    def quad_counts(g: pa.Table) -> pa.Table:
+        rel = g["rel"][0].as_py()
+        sides = set(g["side"].to_pylist())
+        both = "pred" in sides and "target" in sides
+        return pa.table(
+            {
+                "rel": pa.array([rel], pa.string()),
+                "correct": pa.array([1 if both else 0], pa.int64()),
+                "predicted": pa.array([1 if "pred" in sides else 0], pa.int64()),
+                "target": pa.array([1 if "target" in sides else 0], pa.int64()),
+            }
+        )
+
+    triples = tagged.map_batches(
+        lambda t: t.filter(pa.compute.is_valid(t["subj"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    quads = triples.groupby(["doc_id", "subj", "rel", "obj"]).map_groups(
+        quad_counts, batch_format="pyarrow"
+    )
+    per_rel = (
+        quads.groupby("rel")
+        .sum(["correct", "predicted", "target"])
+        .to_pandas()
+        .rename(
+            columns={
+                "sum(correct)": "correct",
+                "sum(predicted)": "predicted",
+                "sum(target)": "target",
+            }
+        )
+    )
+    return per_rel
+
+
+def _prf(row) -> Dict[str, float]:
+    c = MetricCounters(int(row["correct"]), int(row["predicted"]), int(row["target"]))
+    return {"precision": c.precision, "recall": c.recall, "f1": c.f1}
+
+
+def macro_metrics_distributed(
+    predictions: ray.data.Dataset, targets: ray.data.Dataset
+) -> Dict:
+    """G5: unweighted mean of per-relation P/R/F1 over relations with ≥1
+    target occurrence (`evaluators.py:84-89`)."""
+    per_rel = per_relation_counters(parse_sides(predictions, targets))
+    per_rel = per_rel[per_rel["target"] > 0]  # reference: all_relations = target rels
+    if per_rel.empty:
+        return {"precision": 0.0, "recall": 0.0, "f1": 0.0, "num_relations": 0}
+    scores = per_rel.apply(_prf, axis=1, result_type="expand")
+    return {
+        "precision": float(scores["precision"].mean()),
+        "recall": float(scores["recall"].mean()),
+        "f1": float(scores["f1"].mean()),
+        "num_relations": int(len(per_rel)),
+    }
+
+
+def bucket_metrics(
+    per_rel: pd.DataFrame, occurrence: Dict[str, int]
+) -> pd.DataFrame:
+    """G6: bucket relations by floor(log2(train occurrence)); 0-occurrence
+    relations form their own bucket -1 (`plot_helpers.py:19-31` bin edges
+    are powers of two). Metrics per bucket are micro within the bucket."""
+    rows = []
+    per_rel = per_rel[per_rel["target"] > 0]
+    buckets: Dict[int, MetricCounters] = {}
+    for _, row in per_rel.iterrows():
+        occ = occurrence.get(row["rel"], 0)
+        b = int(math.floor(math.log2(occ))) if occ > 0 else -1
+        buckets.setdefault(b, MetricCounters()).merge(
+            MetricCounters(int(row["correct"]), int(row["predicted"]), int(row["target"]))
+        )
+    for b in sorted(buckets):
+        c = buckets[b]
+        rows.append(
+            {
+                "bucket": b,
+                "min_occurrence": 0 if b < 0 else 2**b,
+                **c.as_dict(),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def zero_shot_group_metrics(
+    per_rel: pd.DataFrame, rel2group: Dict[str, str]
+) -> pd.DataFrame:
+    """G10: metrics per relation group (seen / dropped / ignored …,
+    `evaluators.py:206-263`)."""
+    per_rel = per_rel[per_rel["target"] > 0]
+    groups: Dict[str, MetricCounters] = {}
+    for _, row in per_rel.iterrows():
+        g = rel2group.get(row["rel"], "unknown")
+        groups.setdefault(g, MetricCounters()).merge(
+            MetricCounters(int(row["correct"]), int(row["predicted"]), int(row["target"]))
+        )
+    return pd.DataFrame(
+        [{"group": g, **c.as_dict()} for g, c in sorted(groups.items())]
+    )
+
+
+def bootstrap_micro(
+    per_doc: pd.DataFrame,
+    num_bootstrap_samples: int = 50,
+    seed: int = 123,
+    metrics: Sequence[str] = ("precision", "recall", "f1"),
+) -> Dict[str, tuple]:
+    """G8: reference bootstrap (`evaluation.py:12-26`): seed 123,
+    ``random.choices(range(n), k=n)`` per resample, mean ± SAMPLE std
+    (torch.std default ddof=1). Operates on the per-doc counter frame —
+    resampling counters, not data."""
+    n = len(per_doc)
+    random.seed(seed)
+    correct = per_doc["correct"].to_numpy()
+    predicted = per_doc["predicted"].to_numpy()
+    target = per_doc["target"].to_numpy()
+    samples: Dict[str, list] = {m: [] for m in metrics}
+    for _ in range(num_bootstrap_samples):
+        ids = random.choices(range(n), k=n)
+        c = MetricCounters(
+            int(correct[ids].sum()), int(predicted[ids].sum()), int(target[ids].sum())
+        )
+        d = c.as_dict()
+        for m in metrics:
+            samples[m].append(d[m])
+    out = {}
+    for m in metrics:
+        s = pd.Series(samples[m])
+        out[m] = (float(s.mean()), float(s.std(ddof=1)))
+    return out
+
+
+def relation_occurrence(targets: ray.data.Dataset) -> Dict[str, int]:
+    """G7: relation → #occurrences over a corpus of (doc_id, linearization)
+    targets (`surface_forms_utils.py:11-24`)."""
+    tagged = targets.map_batches(
+        _parse_side, fn_kwargs={"side": "target"}, batch_format="pyarrow"
+    )
+    triples = tagged.map_batches(
+        lambda t: t.filter(pa.compute.is_valid(t["subj"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    counts = triples.groupby("rel").count().to_pandas()
+    return dict(zip(counts["rel"], counts["count()"]))
