@@ -4,19 +4,20 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
+CORRECTNESS_r{N}.json). Results may be a ``ray.data.Dataset``, a
 ``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
+
+# Stopword / punctuation definitions shared verbatim with the SQL oracles
+_SQL_STOPWORDS = "('the','and','of','a','to','in','is')"
 
 
 def entry() -> Any:
@@ -49,21 +50,372 @@ def entry() -> Any:
     return ray.data.read_parquet(os.path.join(out, "graph"))
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+# ---------------------------------------------------------------------------
+# KG-domain callables (deterministic synthetic input; not SQL-expressible →
+# rows-only checks; the pytest suite gates them against the single-process
+# oracle at micro-P/R == 1.0)
+# ---------------------------------------------------------------------------
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _kg_docs_path(n_docs: int = 300) -> str:
+    import os
+
+    from genie_ray.fixtures import write_documents_parquet
+
+    path = f"/tmp/genie_ray_kgdocs_{n_docs}.parquet"
+    if not os.path.exists(path):
+        write_documents_parquet(path, n_docs=n_docs, seed=42)
+    return path
+
+
+def _q_kg_triples(sf_dir: str):
+    import shutil
+
+    import ray.data
+
+    from genie_ray.core.world import World
+    from genie_ray.fixtures import make_catalogs
+    from genie_ray.pipelines.kg import KGConfig, extract_to_triples
+    from genie_ray.state.broadcast import put_world
+
+    out = "/tmp/genie_ray_q_triples"
+    shutil.rmtree(out, ignore_errors=True)
+    entities, relations = make_catalogs()
+    world_ref = put_world(World.build(entities, relations))
+    cfg = KGConfig(num_partitions=8, num_buckets=4, concurrency=2, batch_size=32)
+    extract_to_triples(_kg_docs_path(), out, world_ref, cfg).materialize()
+    return ray.data.read_parquet(out)
+
+
+def _q_kg_graph(sf_dir: str):
+    import ray.data
+
+    from genie_ray.pipelines.kg import KGConfig, run_kg_pipeline
+
+    out = "/tmp/genie_ray_q_graph"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    run_kg_pipeline(
+        _kg_docs_path(), out,
+        cfg=KGConfig(num_partitions=8, num_buckets=4, concurrency=2, batch_size=32),
+    )
+    import os
+
+    # scalar columns only (doc_ids is list<string>; row-hash comparators
+    # need hashable cells)
+    return ray.data.read_parquet(
+        os.path.join(out, "graph"),
+        columns=["subj_id", "pred_id", "obj_id", "support"],
+    )
+
+
+def _q_micro_eval(sf_dir: str):
+    """Distributed micro metrics where predictions == oracle targets
+    (must yield P=R=F1=1.0); returns the one-row metric table."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from genie_ray.core.linearization import linearize_triples
+    from genie_ray.core.oracle import oracle_extract
+    from genie_ray.core.world import World
+    from genie_ray.fixtures import make_catalogs
+    from genie_ray.pipelines.evaluate import micro_metrics_distributed
+
+    entities, relations = make_catalogs()
+    world = World.build(entities, relations)
+    docs = pq.read_table(_kg_docs_path())
+    golden = oracle_extract(docs, world)
+    rows = [
+        {"doc_id": d, "linearization": linearize_triples(sorted(t))}
+        for d, t in sorted(golden.items())
+    ]
+    t = pa.Table.from_pylist(rows)
+    preds = ray.data.from_arrow(t)
+    targets = ray.data.from_arrow(t)
+    return pd.DataFrame([micro_metrics_distributed(preds, targets)])
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops over the driver tables
+# ---------------------------------------------------------------------------
+
+
+def _q_token_counts(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.text import token_counts
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return token_counts(ds).select_columns(["doc_id", "n_tokens"])
+
+
+def _q_quality(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.text import quality_scores
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return quality_scores(ds).select_columns(
+        ["doc_id", "n_chars_q", "punct_ratio", "stopword_ratio", "mean_token_len"]
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.text import fingerprints
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return fingerprints(ds).select_columns(["doc_id", "md5"])
+
+
+def _q_exact_dedup(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def _q_lang_id(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.text import lang_id
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return lang_id(ds).select_columns(["doc_id", "lang_pred"])
+
+
+def _q_simhash(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.dedup import simhash_batch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def _q_minhash_dup_pairs(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures_batch,
+        verify_jaccard_pairs,
+    )
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    sigs = docs.map_batches(minhash_signatures_batch, batch_format="pyarrow")
+    cands = minhash_lsh_candidates(sigs)
+    return verify_jaccard_pairs(cands, docs, threshold=0.8)
+
+
+def _q_ann_topk(sf_dir: str):
+    import os
+
+    import numpy as np
+    import ray.data
+
+    from genie_ray.functions.similarity import brute_force_topk
+
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtab = pq.read_table(emb_path).to_pandas()
+    qtab = qtab[qtab["vec_id"] < 8].sort_values("vec_id")
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = brute_force_topk(
+        ds,
+        qtab["vec_id"].to_numpy(),
+        np.stack(qtab["embedding"].to_numpy()),
+        k=10,
+    )
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def _q_ivf_topk(sf_dir: str):
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from genie_ray.functions.similarity import ivf_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtab = pq.read_table(emb_path).to_pandas()
+    qtab = qtab[qtab["vec_id"] < 8].sort_values("vec_id")
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = ivf_topk(
+        ds,
+        qtab["vec_id"].to_numpy(),
+        np.stack(qtab["embedding"].to_numpy()),
+        k=10,
+        num_centroids=8,
+        nprobe=3,
+    )
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def _q_near_dup_cosine(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.dedup import embedding_near_dup_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = embedding_near_dup_pairs(ds, threshold=0.25)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    from genie_ray.pipelines import relational as R
+
+    return {
+        # relational operator inventory (SQL-checked)
+        "filter_keep": R.filter_keep,
+        "filter_drop": R.filter_drop,
+        "group_counts": R.group_counts,
+        "group_agg": R.group_agg,
+        "join_enrich": R.join_enrich,
+        "anti_join_unique": R.anti_join_unique,
+        "topk_orders": R.topk_orders,
+        "distinct_pairs": R.distinct_pairs,
+        "window_tumbling": R.window_tumbling,
+        # text analysis (SQL-checked where expressible)
+        "token_counts": _q_token_counts,
+        "quality": _q_quality,
+        "fingerprint": _q_fingerprint,
+        "lang_id": _q_lang_id,
+        # dedup family
+        "exact_dedup": _q_exact_dedup,
+        "simhash": _q_simhash,
+        "minhash_dup_pairs": _q_minhash_dup_pairs,
+        "near_dup_cosine": _q_near_dup_cosine,
+        # similarity search
+        "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
+        # KG construction (deterministic synthetic input; rows-only)
+        "kg_triples": _q_kg_triples,
+        "kg_graph": _q_kg_graph,
+        "micro_eval": _q_micro_eval,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_keep": (
+            "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity "
+            "FROM lineitem WHERE l_returnflag IN ('A','R')"
+        ),
+        "filter_drop": (
+            "SELECT event_id, event_type, user_id FROM events "
+            "WHERE event_type NOT IN ('click','view')"
+        ),
+        "group_counts": (
+            "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "group_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price, "
+            "count(*) AS n "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "join_enrich": (
+            "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, "
+            "c.c_name, c.c_mktsegment "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "anti_join_unique": (
+            "SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) = 1"
+        ),
+        "topk_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "distinct_pairs": "SELECT DISTINCT lang, source FROM documents",
+        "window_tumbling": (
+            "SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS window_start, "
+            "count(*) AS n, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+            "FROM documents"
+        ),
+        "quality": (
+            "WITH toks AS (SELECT doc_id, text, "
+            "  CASE WHEN trim(text) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws "
+            "FROM documents) "
+            "SELECT doc_id, length(text) AS n_chars_q, "
+            "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            "  (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) "
+            "  / length(text) END AS punct_ratio, "
+            "CASE WHEN len(ws) = 0 THEN 0.0 ELSE "
+            f"  len(list_filter(ws, x -> lower(x) IN {_SQL_STOPWORDS})) / len(ws) "
+            "END AS stopword_ratio, "
+            "CASE WHEN len(ws) = 0 THEN 0.0 ELSE "
+            "  list_aggregate(list_transform(ws, x -> length(x)), 'sum') / len(ws) "
+            "END AS mean_token_len "
+            "FROM toks"
+        ),
+        "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
+            "FROM documents GROUP BY text"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe "
+            "           FROM embeddings WHERE vec_id < 8), "
+            "s AS (SELECT q.qid AS query_id, e.vec_id, "
+            "      list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cosine "
+            "      FROM q CROSS JOIN embeddings e) "
+            "SELECT query_id, vec_id, rank FROM ("
+            "  SELECT query_id, vec_id, "
+            "  row_number() OVER (PARTITION BY query_id "
+            "                     ORDER BY cosine DESC, vec_id) AS rank FROM s) "
+            "WHERE rank <= 10"
+        ),
+        "near_dup_cosine": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b "
+            "  ON a.label = b.label AND a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
+            "                             b.embedding::DOUBLE[]) >= 0.25"
+        ),
+        # lang_id / simhash / minhash_dup_pairs / ivf_topk / kg_* /
+        # micro_eval: deterministic but not SQL-expressible → rows-only
+    }

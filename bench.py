@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Benchmark harness for the genie_ray engine.
+
+Runs the headline KG-construction pipeline plus a representative slice of
+the operator inventory over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) and prints ONE JSON line::
+
+    {"metric": "kg_pipeline_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1, "num_cpus": N,
+     "kg_docs": D, "kg_triples": T, "triples_per_sec": R}
+
+``RAY_GRAFT_CPUS`` controls parallelism (default 32).
+
+``--scaling`` runs the headline pipeline twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs plus scaling efficiency = (tp_32/tp_8) / (32/8); this is the
+sandbox stand-in for the N-node vs 4N-node cluster criterion
+(BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.1
+
+
+def _consume(result) -> int:
+    """Force execution; return row count."""
+    if hasattr(result, "count"):  # ray.data.Dataset
+        return result.count()
+    return len(result)
+
+
+def run_headline(num_cpus: int, n_docs: int) -> dict:
+    """Headline: full KG pipeline (extract → canonicalize → lineage write →
+    dedup graph) over a deterministic source-code documents table."""
+    from genie_ray.fixtures import write_documents_parquet
+    from genie_ray.pipelines.kg import KGConfig, run_kg_pipeline
+
+    docs_path = f"/tmp/genie_bench_docs_{n_docs}"
+    if not os.path.exists(docs_path):
+        write_documents_parquet(docs_path, n_docs=n_docs, seed=42,
+                                n_files=max(8, n_docs // 1000))
+    out = f"/tmp/genie_bench_out_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    # pool sizing: ~2/3 of CPUs to the extract pool (KGConfig docstring).
+    # Partition/bucket counts are CONSTANT across parallelism levels so the
+    # 8-CPU and 32-CPU scaling runs execute the identical work shape.
+    concurrency = max(2, (num_cpus * 2) // 3)
+    cfg = KGConfig(
+        num_partitions=64,
+        num_buckets=32,
+        concurrency=concurrency,
+        batch_size=64,
+        resume=False,
+    )
+    t0 = time.perf_counter()
+    parts, buckets = run_kg_pipeline(docs_path, out, cfg=cfg)
+    sec = time.perf_counter() - t0
+    n_triples = int(buckets["num_triples"].sum())
+    return {
+        "kg_pipeline_sec": sec,
+        "kg_docs": n_docs,
+        "kg_triples": n_triples,
+        "docs_per_sec": n_docs / sec,
+        "triples_per_sec": n_triples / sec,
+    }
+
+
+def run_query_suite(sf_dir: str) -> dict:
+    """Per-operator wall times over the driver tables."""
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    names = [
+        "group_agg", "join_enrich", "window_tumbling", "anti_join_unique",
+        "token_counts", "quality", "lang_id", "fingerprint",
+        "exact_dedup", "simhash", "minhash_dup_pairs", "near_dup_cosine",
+        "ann_topk", "ivf_topk",
+    ]
+    times = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _consume(qs[name](sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="run headline at num_cpus=8 and 32 in fresh processes")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="internal: headline pipeline only, print its JSON")
+    ap.add_argument("--n-docs", type=int, default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_from_dir(sf_dir)
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_docs = args.n_docs if args.n_docs else max(200, int(50_000 * sf))
+
+    if args.scaling:
+        # fresh ray session per parallelism level — subprocesses
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--headline-only", "--n-docs", str(n_docs)],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        tp8 = results[8]["triples_per_sec"]
+        tp32 = results[32]["triples_per_sec"]
+        eff = (tp32 / tp8) / (32 / 8)
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "sf": sf,
+            "triples_per_sec_8": round(tp8, 1),
+            "triples_per_sec_32": round(tp32, 1),
+            "kg_pipeline_sec_8": round(results[8]["kg_pipeline_sec"], 2),
+            "kg_pipeline_sec_32": round(results[32]["kg_pipeline_sec"], 2),
+            "kg_docs": n_docs,
+        }))
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, log_to_driver=False)
+    try:
+        head = run_headline(num_cpus, n_docs)
+        if args.headline_only:
+            print(json.dumps({**head, "num_cpus": num_cpus, "sf": sf}))
+            return
+        queries = run_query_suite(sf_dir)
+        print(json.dumps({
+            "metric": "kg_pipeline_sec",
+            "value": round(head["kg_pipeline_sec"], 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "kg_docs": head["kg_docs"],
+            "kg_triples": head["kg_triples"],
+            "triples_per_sec": round(head["triples_per_sec"], 1),
+            "docs_per_sec": round(head["docs_per_sec"], 2),
+        }))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

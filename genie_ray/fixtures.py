@@ -144,9 +144,30 @@ def make_documents(
     return table
 
 
-def write_documents_parquet(path: str, n_docs: int = 200, seed: int = 42) -> str:
+def write_documents_parquet(
+    path: str, n_docs: int = 200, seed: int = 42, n_files: Optional[int] = None
+) -> str:
+    """Write the documents table. Above ~2000 docs the output is a
+    DIRECTORY of several files (mirroring the many-file layout of a real
+    corpus) so ``read_parquet`` issues parallel read tasks — Ray's parquet
+    reader assigns whole files to tasks, so one giant file serializes the
+    read. Small row groups additionally let a file split into blocks."""
+    import os
+
     import pyarrow.parquet as pq
 
     table = make_documents(n_docs=n_docs, seed=seed)
-    pq.write_table(table, path)
+    if n_files is None:
+        n_files = max(1, n_docs // 2000)
+    if n_files == 1:
+        pq.write_table(table, path, row_group_size=256)
+        return path
+    os.makedirs(path, exist_ok=True)
+    per = (table.num_rows + n_files - 1) // n_files
+    for f in range(n_files):
+        chunk = table.slice(f * per, per)
+        if chunk.num_rows:
+            pq.write_table(
+                chunk, os.path.join(path, f"part-{f:05d}.parquet"), row_group_size=256
+            )
     return path

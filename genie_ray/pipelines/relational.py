@@ -1,0 +1,207 @@
+"""Relational operator pipelines over the test star schema.
+
+Each function demonstrates one operator family from SURVEY.md §2 as an
+idiomatic Ray Data pipeline over the driver's Parquet tables, and has an
+exactly-matching DuckDB oracle in ``__ray_entry__.oracle_sql`` (column
+names included). Vectorized pyarrow.compute bodies throughout; joins
+broadcast the small side; aggregates pre-combine per batch before the
+shuffle where profitable.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns: List[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# -- filters (M4 / M5 / M6: value-set keep/drop semantics) -------------------
+
+
+def filter_keep(sf_dir: str) -> ray.data.Dataset:
+    """Keep rows whose flag is in an allow-set (reference matching-status
+    filter, `datasets.py:157-169`)."""
+    keep = pa.array(["A", "R"])
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["l_returnflag"], value_set=keep)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def filter_drop(sf_dir: str) -> ray.data.Dataset:
+    """Drop rows whose type is in a drop-set (reference relations-drop
+    filter, `datasets.py:171-185`)."""
+    drop = pa.array(["click", "view"])
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["event_type"], value_set=drop))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# -- aggregates (G7 counts; G1-G3-style partial+final sums) ------------------
+
+
+def group_counts(sf_dir: str) -> ray.data.Dataset:
+    """Occurrence counting (reference relation-occurrence counter,
+    `surface_forms_utils.py:11-24`): partial counts per batch, then a tiny
+    groupby-sum — the pre-aggregation pattern."""
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("event_type", "count")])
+        return g.rename_columns(["event_type", "n_partial"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby("event_type").sum("n_partial")
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_type", "n"]), batch_format="pyarrow"
+    )
+
+
+def group_agg(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-shaped grouped aggregate with batch-local combine before
+    the shuffle; float sums rounded to 2dp for engine-exact comparison."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_price", "p_n"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .sum(["p_qty", "p_price", "p_n"])
+        .to_pandas()
+    )
+    out = out.rename(
+        columns={"sum(p_qty)": "sum_qty", "sum(p_price)": "sum_price", "sum(p_n)": "n"}
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_price"] = out["sum_price"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n"]]
+
+
+# -- joins (J3 broadcast hash join; J4 anti-join) ----------------------------
+
+
+def join_enrich(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer on custkey — broadcast the small dimension side
+    via ray.put, dict-map per batch (reference id-keyed join semantics,
+    `evaluation.py:96-126`; broadcast strategy per SURVEY.md §2.4 J1)."""
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+        .to_pandas()
+    )
+    lookup_ref = ray.put(
+        {
+            k: (n, m)
+            for k, n, m in zip(cust["c_custkey"], cust["c_name"], cust["c_mktsegment"])
+        }
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    class Join:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_pylist()
+            hits = [self.lookup.get(k) for k in keys]
+            mask = pa.array([h is not None for h in hits], pa.bool_())
+            out = t.append_column(
+                "c_name", pa.array([h[0] if h else None for h in hits], pa.string())
+            )
+            out = out.append_column(
+                "c_mktsegment",
+                pa.array([h[1] if h else None for h in hits], pa.string()),
+            )
+            return out.filter(mask)  # inner-join semantics
+
+    return orders.map_batches(Join, batch_format="pyarrow", concurrency=2)
+
+
+def anti_join_unique(sf_dir: str) -> ray.data.Dataset:
+    """Keys occurring exactly once — single-lineitem orders (the
+    reference's title-dedup shape: collisions removed entirely,
+    `utils.py:39-104` / SURVEY.md §2.4 J4)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    counts = ds.groupby("l_orderkey").count()
+    return counts.map_batches(
+        lambda t: t.filter(pc.equal(t["count()"], 1)).select(["l_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+
+# -- sort / top-k (O4) -------------------------------------------------------
+
+
+def topk_orders(sf_dir: str) -> ray.data.Dataset:
+    """Global top-10 by price with deterministic tiebreak."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+# -- distinct (G9 / D4) ------------------------------------------------------
+
+
+def distinct_pairs(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    out = ds.groupby(["lang", "source"]).count()
+    return out.map_batches(
+        lambda t: t.select(["lang", "source"]), batch_format="pyarrow"
+    )
+
+
+# -- windowed aggregate over the event log (streaming-shaped) ----------------
+
+
+def window_tumbling(sf_dir: str) -> pd.DataFrame:
+    """1-hour tumbling window per user over the events log: window
+    assignment is a row-local floor, then a partial+final grouped sum —
+    Ray Data's batch expression of a streaming tumbling window (ordering
+    assumption: none needed, windows are keyed not sequential)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(window_start=df["ts"].dt.floor("h"))
+        g = (
+            df.groupby(["user_id", "window_start"], as_index=False)
+            .agg(p_n=("value", "size"), p_sum=("value", "sum"))
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = (
+        partials.groupby(["user_id", "window_start"])
+        .sum(["p_n", "p_sum"])
+        .to_pandas()
+        .rename(columns={"sum(p_n)": "n", "sum(p_sum)": "sum_value"})
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out[["user_id", "window_start", "n", "sum_value"]]

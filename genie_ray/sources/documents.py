@@ -25,10 +25,19 @@ import ray.data
 DOC_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
-def read_documents(path: str, columns: Optional[List[str]] = None) -> ray.data.Dataset:
+def read_documents(
+    path: str,
+    columns: Optional[List[str]] = None,
+    override_num_blocks: Optional[int] = None,
+) -> ray.data.Dataset:
     """Streaming parquet read with column pruning (only ask storage for what
-    the pipeline touches)."""
-    return ray.data.read_parquet(path, columns=columns)
+    the pipeline touches). ``override_num_blocks`` forces enough read tasks
+    that a downstream actor pool is fully fed even when the input is a few
+    files (at 10^12-file scale the natural file count dominates and this
+    should be left unset)."""
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=override_num_blocks
+    )
 
 
 def sha256_hex_many(values: List[str]) -> List[str]:

@@ -71,3 +71,17 @@ class CanonicalizeTriples:
         out = out.append_column("matched", pa.array(matched, pa.bool_()))
         out = out.append_column("match_status", pa.array(status, pa.string()))
         return out
+
+
+# per-worker-process cache so the broadcast dicts are built once per
+# process, letting the stage run as stateless task-based map_batches (any
+# free CPU) instead of reserving a dedicated actor pool
+_CANON_CACHE: dict = {}
+
+
+def canonicalize_batch(batch: pa.Table, world_ref, allow_labels: bool = True) -> pa.Table:
+    key = (world_ref.hex() if hasattr(world_ref, "hex") else id(world_ref), allow_labels)
+    canon = _CANON_CACHE.get(key)
+    if canon is None:
+        canon = _CANON_CACHE[key] = CanonicalizeTriples(world_ref, allow_labels)
+    return canon(batch)

@@ -1,0 +1,175 @@
+"""Targeted semantics tests for the training-data operators: planted
+near-duplicates for the dedup family, IVF recall vs brute force,
+multimodal plumbing, language ID."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from genie_ray.functions.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    hamming64,
+    minhash_lsh_candidates,
+    minhash_signatures_batch,
+    simhash_batch,
+    verify_jaccard_pairs,
+)
+from genie_ray.functions.multimodal import DecodeStub, decode_features, synth_media_table
+from genie_ray.functions.similarity import brute_force_topk, ivf_topk
+from genie_ray.functions.text import LangId, rolling_fingerprint_batch
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the wall and the birds sing in the trees near the old river "
+)
+
+
+def _docs_table():
+    rng = np.random.default_rng(99)
+    vocab = [f"word{j}" for j in range(400)]
+    texts = []
+    for i in range(30):  # genuinely distinct documents
+        ws = rng.choice(vocab, size=60, replace=True)
+        texts.append(f"document {i} " + " ".join(ws))
+    # planted near-dups: 40/41 differ by one word; 42 == 40 exactly
+    texts.append("document A " + BASE * 3)
+    texts.append("document B " + BASE * 3)
+    texts.append("document A " + BASE * 3)
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    return ray.data.from_arrow(_docs_table())
+
+
+def test_exact_dedup_keeps_min_id(docs_ds):
+    out = exact_dedup(docs_ds).to_pandas()
+    # 33 docs, 2 identical → 32 survivors
+    assert len(out) == 32
+    dup = out[out["n_dups"] == 2]
+    assert len(dup) == 1 and dup.iloc[0]["doc_id"] == 30  # min of {30, 32}
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs_ds):
+    sigs = docs_ds.map_batches(minhash_signatures_batch, batch_format="pyarrow")
+    cands = minhash_lsh_candidates(sigs)
+    verified = verify_jaccard_pairs(cands, docs_ds, threshold=0.5).to_pandas()
+    pairs = set(zip(verified["id_a"], verified["id_b"]))
+    assert (30, 32) in pairs  # exact dup pair
+    assert (30, 31) in pairs and (31, 32) in pairs  # near-dup pair
+    # unrelated docs don't pair
+    assert all(a >= 30 for a, b in pairs)
+
+
+def test_minhash_deterministic(docs_ds):
+    t = _docs_table()
+    a = minhash_signatures_batch(t)
+    b = minhash_signatures_batch(t)
+    assert a.equals(b)
+
+
+def test_simhash_near_dups_close(docs_ds):
+    t = _docs_table()
+    out = simhash_batch(t)
+    sig = dict(zip(out["doc_id"].to_pylist(), out["simhash"].to_pylist()))
+    u64 = lambda x: x + (1 << 63)
+    assert sig[30] == sig[32]  # identical docs → identical simhash
+    assert hamming64(u64(sig[30]), u64(sig[31])) <= 8  # near dup → close
+    assert hamming64(u64(sig[0]), u64(sig[15])) > 8  # different docs → far
+
+
+def test_rolling_fingerprint_shift_invariant():
+    t = pa.table({"text": pa.array(["prefix " + BASE, BASE], pa.string())})
+    out = rolling_fingerprint_batch(t, window=8, num_features=4)
+    f0, f1 = out["fingerprint"].to_pylist()
+    # winnowed min-hashes survive a prefix edit (shared windows dominate)
+    assert set(f0) & set(f1)
+
+
+def test_embedding_near_dup_planted(ray_session):
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(20, 16)).astype(np.float64)
+    vecs = list(base)
+    vecs.append(base[3] + rng.normal(scale=1e-3, size=16))  # near-dup of 3
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(21), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * 21, pa.int32()),
+        }
+    )
+    pairs = embedding_near_dup_pairs(ray.data.from_arrow(t), threshold=0.999).to_pandas()
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {(3, 20)}
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    rng = np.random.default_rng(1)
+    mat = rng.normal(size=(400, 32))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(400), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    qids = np.array([0, 1, 2, 3])
+    qmat = mat[:4]
+    bf = brute_force_topk(ds, qids, qmat, k=10)
+    ivf = ivf_topk(ds, qids, qmat, k=10, num_centroids=8, nprobe=4)
+    recalls = []
+    for q in qids:
+        want = set(bf[bf["query_id"] == q]["vec_id"])
+        got = set(ivf[ivf["query_id"] == q]["vec_id"])
+        recalls.append(len(want & got) / len(want))
+    assert np.mean(recalls) >= 0.5  # approximate by design, must be useful
+    # brute force is exact: self-match first
+    assert all(bf[bf["rank"] == 1]["vec_id"].to_numpy() == qids)
+    assert all(bf[bf["rank"] == 1]["cosine"] > 0.999999)
+
+
+def test_multimodal_decode_stub(ray_session):
+    t = synth_media_table(n=12, payload_bytes=1024)
+    ds = ray.data.from_arrow(t)
+    out = decode_features(ds, fake_decode=True, concurrency=1, batch_size=4).to_pandas()
+    assert len(out) == 12
+    assert "payload" not in out.columns  # payload projected away
+    assert all(len(f) == 8 for f in out["features"])
+    assert out["payload_sha256"].str.len().eq(64).all()
+    # real decode path is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        DecodeStub(fake_decode=False)._decode(b"xx", "image/png")
+
+
+def test_multimodal_deterministic():
+    a = synth_media_table(n=5, seed=7)
+    b = synth_media_table(n=5, seed=7)
+    assert a.equals(b)
+    stub = DecodeStub(fake_decode=True)
+    fa = stub(a)
+    fb = stub(b)
+    assert fa.equals(fb)
+
+
+def test_lang_id_heuristic():
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps over the lazy dog and runs away",
+                    "der schnelle braune fuchs springt ueber den faulen hund",
+                    "def main(): import os; return None if True else False",
+                ],
+                pa.string(),
+            )
+        }
+    )
+    out = LangId()(t)
+    langs = out["lang_pred"].to_pylist()
+    assert langs[0] == "en"
+    assert langs[1] == "de"
+    assert langs[2] == "code"
