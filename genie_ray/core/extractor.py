@@ -90,6 +90,9 @@ class DeterministicExtractor:
         num_beams: int = 10,
         validate_with_fsm: bool = True,
         surface_lookup: Optional[dict] = None,
+        max_input_tokens: Optional[int] = 256,
+        decode_mode: str = "scan",
+        max_output_tokens: int = 256,
     ):
         self.tokenizer = tokenizer
         self.entities_trie = entities_trie
@@ -97,6 +100,20 @@ class DeterministicExtractor:
         self.num_beams = num_beams
         self.fsm = ConstraintFSM(tokenizer, entities_trie, relations_trie)
         self.validate_with_fsm = validate_with_fsm
+        # the reference truncates every input to max_input_length=256 tokens
+        # (`configs/model/genie_base.yaml:7-8`, collate `datasets.py:41-74`);
+        # this is also its hard cap on per-document cost — without it one
+        # MB-sized row dominates a whole batch (SURVEY.md §7.4)
+        self.max_input_tokens = max_input_tokens
+        # decode_mode "scan": direct longest-match extraction (fast path).
+        # decode_mode "beam": run the full constrained beam search — the
+        # FSM's allowed-token computation at every step of every beam, the
+        # exact compute shape of the reference's decode loop
+        # (`genie_base_pl.py:497-505` + `ie_prefix_constraints.py:210-233`)
+        # — guided by a deterministic scorer whose optimum is the scan
+        # extraction, so both modes emit identical top-1 triples.
+        self.decode_mode = decode_mode
+        self.max_output_tokens = max_output_tokens
         # token-id-tuple → canonical catalog surface; recovers the exact
         # catalog string (e.g. "pkg.module", which tokenizes to 3 tokens and
         # would not round-trip through a whitespace join)
@@ -129,11 +146,25 @@ class DeterministicExtractor:
             i += 1
         return best
 
+    def _truncate(self, content: str) -> str:
+        """Keep the first ``max_input_tokens`` whitespace words — the
+        analog of the reference's tokenizer truncation. Lazy scan: cost is
+        O(kept prefix), not O(document)."""
+        if self.max_input_tokens is None:
+            return content
+        end = None
+        for k, m in enumerate(re.finditer(r"\S+", content)):
+            if k + 1 >= self.max_input_tokens:
+                end = m.end()
+                break
+        return content if end is None else content[:end]
+
     def extract_triples(self, content: str) -> List[Triple]:
         """Ordered triples found in the document (duplicates preserved —
         set-dedup happens at parse time, `triplet_utils.py:16-21`)."""
         tok = self.tokenizer
         triples: List[Triple] = []
+        content = self._truncate(content)
         for sentence in split_sentences(content):
             ws = words(sentence)
             word_ids = [tok.word2id.get(w, tok.unk_token_id) for w in ws]
@@ -175,9 +206,61 @@ class DeterministicExtractor:
 
     def generate(self, doc_key: str, content: str) -> List[Beam]:
         """Beams for one document, sorted by log_prob desc
-        (`genie_base_pl.py:535-536`). Beam 0 is the full extraction; lower
-        beams are deterministic prefixes of the triple list (what a real
-        beam search's runner-up hypotheses look like under constraints)."""
+        (`genie_base_pl.py:535-536`)."""
+        if self.decode_mode == "beam":
+            return self._generate_beam(doc_key, content)
+        return self._generate_scan(doc_key, content)
+
+    def _generate_beam(self, doc_key: str, content: str) -> List[Beam]:
+        """Full constrained beam search (`constrained_beam_search`) with a
+        deterministic scorer: on-target continuations (toward the scan
+        extraction's linearization) score 0, everything else scores below
+        -1 with doc-seeded jitter — so the top beam reproduces the scan
+        extraction while paying the reference decode loop's real cost."""
+        triples = self.extract_triples(content)
+        target_text = linearize_triples(triples)
+        target = self._encode_decoder_sequence(target_text)
+        if len(target) > self.max_output_tokens:
+            # the reference would truncate generation at max_output_length;
+            # the scan path is the conformance fallback here
+            return self._generate_scan(doc_key, content)
+        tok = self.tokenizer
+        on_target: dict = {}
+
+        def prefix_on_target(prefix: Sequence[int]) -> bool:
+            key = tuple(prefix)
+            got = on_target.get(key)
+            if got is None:
+                got = on_target[key] = list(prefix) == target[: len(prefix)]
+            return got
+
+        def score_fn(prefix: Sequence[int], token: int) -> float:
+            pos = len(prefix)
+            if pos < len(target) and token == target[pos] and prefix_on_target(prefix):
+                return 0.0
+            h = hashlib.sha256(f"{doc_key}\x00{pos}\x00{token}".encode()).digest()
+            return -1.0 - int.from_bytes(h[:4], "big") / 2**32
+
+        finished = constrained_beam_search(
+            self.fsm,
+            score_fn,
+            num_beams=self.num_beams,
+            max_length=self.max_output_tokens,
+            eos_token_id=tok.eos_token_id,
+            start_tokens=(tok.eos_token_id,),
+        )
+        if not finished:
+            return self._generate_scan(doc_key, content)
+        beams = []
+        for seq, lp in finished:
+            text = target_text if seq == target else tok.decode(seq)
+            beams.append(Beam(text, lp))
+        return beams
+
+    def _generate_scan(self, doc_key: str, content: str) -> List[Beam]:
+        """Beam 0 is the full extraction; lower beams are deterministic
+        prefixes of the triple list (what a real beam search's runner-up
+        hypotheses look like under constraints)."""
         triples = self.extract_triples(content)
         texts: List[str] = []
         for n_keep in range(len(triples), -1, -1):
@@ -255,7 +338,12 @@ def constrained_beam_search(
                 beams.append((seq, lp))
             if len(beams) >= num_beams:
                 break
+        # HF-style stop: only once no unfinished hypothesis can still beat
+        # the worst kept finished beam (scores are ≤ 0 per step, so beam
+        # log-probs are non-increasing in length)
         if len(finished) >= num_beams:
-            break
+            worst_kept = sorted(finished, key=lambda x: -x[1])[num_beams - 1][1]
+            if not beams or beams[0][1] <= worst_kept:
+                break
     finished.sort(key=lambda x: (-x[1], x[0]))
     return finished[:num_beams]

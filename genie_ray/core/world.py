@@ -48,7 +48,13 @@ class World:
             lookup[ids] = s
         return cls(tokenizer, entities, relations, entities_trie, relations_trie, lookup)
 
-    def make_extractor(self, num_beams: int = 10, validate_with_fsm: bool = True):
+    def make_extractor(
+        self,
+        num_beams: int = 10,
+        validate_with_fsm: bool = True,
+        max_input_tokens: int = 256,
+        decode_mode: str = "scan",
+    ):
         from .extractor import DeterministicExtractor
 
         return DeterministicExtractor(
@@ -58,4 +64,6 @@ class World:
             num_beams=num_beams,
             validate_with_fsm=validate_with_fsm,
             surface_lookup=self.surface_lookup,
+            max_input_tokens=max_input_tokens,
+            decode_mode=decode_mode,
         )

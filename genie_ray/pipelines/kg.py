@@ -54,6 +54,9 @@ class KGConfig:
     max_doc_ids: int = 20
     num_beams: int = 10
     resume: bool = True
+    # "scan" = fast direct extraction; "beam" = full constrained beam
+    # search (reference decode-loop compute shape), identical top-1 output
+    decode_mode: str = "scan"
 
 
 def _filter_parts(ds: ray.data.Dataset, done: set) -> ray.data.Dataset:
@@ -102,7 +105,11 @@ def extract_to_triples(
     )
     gens = ds.map_batches(
         ExtractTriples,
-        fn_constructor_kwargs={"world_ref": world_ref, "num_beams": cfg.num_beams},
+        fn_constructor_kwargs={
+            "world_ref": world_ref,
+            "num_beams": cfg.num_beams,
+            "decode_mode": cfg.decode_mode,
+        },
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         # fixed pool: this stage is ~95% of the compute; a (1, N) autoscale

@@ -29,10 +29,12 @@ class ExtractTriples:
     """Actor-pool callable: one World fetch per actor, per-batch generate."""
 
     def __init__(self, world_ref, num_beams: int = 10, validate_with_fsm: bool = False,
-                 save_full_beams: bool = False):
+                 save_full_beams: bool = False, decode_mode: str = "scan"):
         world = get_world(world_ref)
         self.extractor = world.make_extractor(
-            num_beams=num_beams, validate_with_fsm=validate_with_fsm
+            num_beams=num_beams,
+            validate_with_fsm=validate_with_fsm,
+            decode_mode=decode_mode,
         )
         self.save_full_beams = save_full_beams
 

@@ -121,3 +121,32 @@ def test_oracle_triples_table_canonical_ids():
         assert all(t["matched"].to_pylist())
         assert all(x.startswith("Q") for x in t["subj_id"].to_pylist())
         assert all(x.startswith("P") for x in t["pred_id"].to_pylist())
+
+
+def test_beam_decode_matches_scan_top1(small_world):
+    """decode_mode="beam" runs the full constrained beam search
+    (reference decode-loop compute shape) but must emit the identical
+    top-1 linearization as the scan path, doc by doc."""
+    entities, relations = make_catalogs()
+    docs = make_documents(n_docs=40, entities=entities, relations=relations)
+    scan = small_world.make_extractor()
+    beam = small_world.make_extractor(decode_mode="beam")
+    for i, content in enumerate(docs["content"].to_pylist()):
+        key = f"d{i}"
+        assert select_top1(beam.generate(key, content)) == select_top1(
+            scan.generate(key, content)
+        )
+
+
+def test_beam_decode_truncation_cap(small_world):
+    """Inputs past max_input_tokens are ignored (reference
+    max_input_length=256, configs/model/genie_base.yaml:7-8): a fact
+    planted beyond the window must not be extracted."""
+    ex = small_world.make_extractor()
+    pad = " ".join(["zzfn"] * 300)
+    content = pad + ". Alpha Engine 0 depends on Beta Engine 1."
+    assert ex.extract_triples(content) == []
+    head = "Alpha Engine 0 depends on Beta Engine 1. " + pad + "."
+    assert ex.extract_triples(head) == [
+        ("Alpha Engine 0", "depends on", "Beta Engine 1")
+    ]
