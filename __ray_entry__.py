@@ -282,6 +282,72 @@ def _q_ivf_topk(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]]
 
 
+def _q_explode_sentences(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.text import explode_sentences
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return explode_sentences(ds)
+
+
+def _q_jaccard_pairs(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5).select_columns(["id_a", "id_b"])
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: binary payload column → actor-pool decode
+    (deterministic fake codec) → features + payload sha. Rows-only
+    (byte-statistics features are not SQL-expressible)."""
+    import ray.data
+
+    from genie_ray.functions.multimodal import decode_features, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(n=128, seed=42))
+    out = decode_features(ds, fake_decode=True, concurrency=2, batch_size=16)
+    return out.select_columns(["media_id", "mime", "payload_sha256"])
+
+
+def _q_macro_eval(sf_dir: str):
+    """Distributed per-relation (macro) metrics with predictions == oracle
+    targets: every relation must score P=R=F1=1.0. Rows-only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from genie_ray.core.linearization import linearize_triples
+    from genie_ray.core.oracle import oracle_extract
+    from genie_ray.core.world import World
+    from genie_ray.fixtures import make_catalogs
+    from genie_ray.pipelines.evaluate import macro_metrics_distributed, parse_sides
+
+    entities, relations = make_catalogs()
+    world = World.build(entities, relations)
+    docs = pq.read_table(_kg_docs_path())
+    golden = oracle_extract(docs, world)
+    rows = [
+        {"doc_id": d, "linearization": linearize_triples(sorted(t))}
+        for d, t in sorted(golden.items())
+    ]
+    import pandas as pd
+
+    t = pa.Table.from_pylist(rows)
+    return pd.DataFrame(
+        [macro_metrics_distributed(ray.data.from_arrow(t), ray.data.from_arrow(t))]
+    )
+
+
 def _q_near_dup_cosine(sf_dir: str):
     import os
 
@@ -316,11 +382,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
+        "explode_sentences": _q_explode_sentences,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "simhash": _q_simhash,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
+        "jaccard_pairs": _q_jaccard_pairs,
         "near_dup_cosine": _q_near_dup_cosine,
+        # multimodal plumbing
+        "media_features": _q_media_features,
         # similarity search
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -328,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_graph": _q_kg_graph,
         "micro_eval": _q_micro_eval,
+        "macro_eval": _q_macro_eval,
     }
 
 
@@ -393,6 +464,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM toks"
         ),
         "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        # reference split regex `(?<=[.])\s` uses lookbehind (unsupported in
+        # RE2); equivalent: mark each single whitespace following '.' with a
+        # sentinel, then split on the sentinel
+        "explode_sentences": (
+            "SELECT doc_id, unnest(string_split(regexp_replace("
+            "  text, '(\\.)(\\s)', '\\1' || chr(1), 'g'), chr(1))) AS sentence "
+            "FROM documents"
+        ),
+        "jaccard_pairs": (
+            "WITH toks AS (SELECT doc_id, "
+            "  list_distinct(CASE WHEN trim(text) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END) AS ws "
+            "FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM toks a JOIN toks b ON a.doc_id < b.doc_id "
+            "WHERE len(list_distinct(list_concat(a.ws, b.ws))) > 0 "
+            "  AND len(list_intersect(a.ws, b.ws)) >= "
+            "  0.5 * len(list_distinct(list_concat(a.ws, b.ws)))"
+        ),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
             "FROM documents GROUP BY text"

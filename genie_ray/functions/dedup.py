@@ -288,3 +288,61 @@ def embedding_near_dup_pairs(
         )
 
     return ds.groupby(block_col).map_groups(per_block, batch_format="pyarrow")
+
+
+# -- exact n-gram Jaccard all-pairs (verification-side primitive) -------------
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """EXACT token-set Jaccard near-dup pairs (id_a < id_b, jaccard ≥
+    threshold). One side of the comparison is broadcast once via
+    ``ray.put`` (token sets, not raw text); each batch compares its rows
+    against the broadcast side — distributed over the left side, no
+    shuffle. This is the exact counterpart the MinHash-LSH path
+    (``minhash_lsh_candidates`` → ``verify_jaccard_pairs``) approximates;
+    use THAT at corpus scale and this where exactness is required (e.g.
+    auditing LSH recall on a sample)."""
+    import pandas as pd
+
+    side = ds.to_pandas()  # small side by contract (sample/audit scale)
+    sets = {
+        did: frozenset((t or "").split())
+        for did, t in zip(side[id_col], side[text_col])
+    }
+    side_ref = ray.put(sets)
+
+    class PairFinder:
+        def __init__(self):
+            self.sets = ray.get(side_ref)
+            self.order = sorted(self.sets)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a_ids, b_ids, jaccs = [], [], []
+            for did, text in zip(
+                batch[id_col].to_pylist(), batch[text_col].to_pylist()
+            ):
+                s = frozenset((text or "").split())
+                for other in self.order:
+                    if other <= did:
+                        continue
+                    o = self.sets[other]
+                    union = len(s | o)
+                    j = (len(s & o) / union) if union else 0.0
+                    if j >= threshold:
+                        a_ids.append(did)
+                        b_ids.append(other)
+                        jaccs.append(j)
+            return pa.table(
+                {
+                    "id_a": pa.array(a_ids, batch[id_col].type),
+                    "id_b": pa.array(b_ids, batch[id_col].type),
+                    "jaccard": pa.array(jaccs, pa.float64()),
+                }
+            )
+
+    return ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=2)

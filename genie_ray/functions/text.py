@@ -176,3 +176,37 @@ def lang_id(ds: ray.data.Dataset, text_col: str = "text", concurrency: int = 2) 
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# -- sentence exploder (reference M9: convert_rebel_data2kilt.py:76-165) ------
+
+# the reference's article→sentence split regex (`convert_rebel_data2kilt.py:85`)
+_SENT_SPLIT_RE = re.compile(r"(?<=[.])\s")
+
+
+def explode_sentences_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """1 document → N sentence rows (the reference's article exploder,
+    `convert_rebel_data2kilt.py:85`: split at any single whitespace that
+    follows a period). Runs as a flat-map-shaped ``map_batches`` — pure,
+    row-local, no shuffle (SURVEY.md §2.2 M9)."""
+    ids, sents = [], []
+    for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        for s in _SENT_SPLIT_RE.split(text or ""):
+            ids.append(did)
+            sents.append(s)
+    return pa.table(
+        {id_col: pa.array(ids, batch[id_col].type), "sentence": pa.array(sents, pa.string())}
+    )
+
+
+def explode_sentences(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        explode_sentences_batch,
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -182,25 +182,32 @@ def distinct_pairs(sf_dir: str) -> ray.data.Dataset:
 
 def window_tumbling(sf_dir: str) -> pd.DataFrame:
     """1-hour tumbling window per user over the events log: window
-    assignment is a row-local floor, then a partial+final grouped sum —
-    Ray Data's batch expression of a streaming tumbling window (ordering
-    assumption: none needed, windows are keyed not sequential)."""
+    assignment is a row-local Arrow ``floor_temporal`` (zero-copy, no
+    pandas), then one grouped aggregate — Ray Data's batch expression of a
+    streaming tumbling window (ordering assumption: none needed, windows
+    are keyed not sequential). No per-batch pre-aggregation: (user,
+    window) is near-unique per row here, so a combiner would shuffle the
+    same volume and pay an extra pass."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(window_start=df["ts"].dt.floor("h"))
-        g = (
-            df.groupby(["user_id", "window_start"], as_index=False)
-            .agg(p_n=("value", "size"), p_sum=("value", "sum"))
+    def assign(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                "value": t["value"],
+            }
         )
-        return g
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    win = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     out = (
-        partials.groupby(["user_id", "window_start"])
-        .sum(["p_n", "p_sum"])
+        win.groupby(["user_id", "window_start"])
+        .aggregate(
+            ray.data.aggregate.Count(),
+            ray.data.aggregate.Sum("value"),
+        )
         .to_pandas()
-        .rename(columns={"sum(p_n)": "n", "sum(p_sum)": "sum_value"})
+        .rename(columns={"count()": "n", "sum(value)": "sum_value"})
     )
     out["n"] = out["n"].astype("int64")
     out["sum_value"] = out["sum_value"].round(2)

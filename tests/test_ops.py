@@ -173,3 +173,43 @@ def test_lang_id_heuristic():
     assert langs[0] == "en"
     assert langs[1] == "de"
     assert langs[2] == "code"
+
+
+def test_ngram_jaccard_exact_pairs(docs_ds):
+    """Exact all-pairs token-set Jaccard: the planted near/exact dups
+    (docs 30/31/32 share the BASE body) must pair; random docs must not."""
+    from genie_ray.functions.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs_ds, threshold=0.5).to_pandas()
+    got = {tuple(p) for p in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert {(30, 31), (30, 32), (31, 32)} <= got
+    assert all(a >= 30 and b >= 30 for a, b in got)
+    # exact dup pair scores 1.0
+    exact = pairs[(pairs.id_a == 30) & (pairs.id_b == 32)]
+    assert float(exact.jaccard.iloc[0]) == 1.0
+
+
+def test_explode_sentences_reference_regex(ray_session):
+    """Mirror of the reference article exploder semantics
+    (convert_rebel_data2kilt.py:85): split at ONE whitespace after '.';
+    text without periods stays a single row; double spaces keep the
+    second space on the following sentence."""
+    import re
+
+    from genie_ray.functions.text import explode_sentences
+
+    texts = [
+        "One sentence. Two sentence. Three",
+        "no periods here",
+        "double.  spaced",
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = explode_sentences(ray.data.from_arrow(t)).to_pandas()
+    ref = []
+    for i, txt in enumerate(texts):
+        for s in re.split(r"(?<=[.])\s", txt):
+            ref.append((i, s))
+    got = list(out.sort_values(["doc_id", "sentence"]).itertuples(index=False, name=None))
+    assert sorted(ref) == sorted(got)
