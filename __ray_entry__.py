@@ -282,6 +282,49 @@ def _q_ivf_topk(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]]
 
 
+def _q_catalog_from_dump(sf_dir: str):
+    """Offline-prep chain (SURVEY §3.3): gz JSONL dump → routed parse →
+    distributed title-dedup → entity catalog table. Deterministic fixture
+    dump; rows-only (the dump is not a pre-registered driver table)."""
+    import os
+
+    from genie_ray.fixtures import make_catalogs
+    from genie_ray.sources.wikidata import catalogs_from_dump, write_fixture_dump
+
+    entities, relations = make_catalogs()
+    dump = "/tmp/genie_ray_fixture_dump.json.gz"
+    if not os.path.exists(dump):
+        write_fixture_dump(dump, entities, relations)
+    got_e, _got_r = catalogs_from_dump(dump)
+    return got_e.to_arrow(id_col="ent_id")
+
+
+def _q_kg_beams(sf_dir: str):
+    """Full-beam generations table (reference save_full_beams,
+    configs/model/inference/default.yaml:22): one row per (doc, beam
+    rank). Rows-only."""
+    import ray.data
+
+    from genie_ray.core.world import World
+    from genie_ray.fixtures import make_catalogs
+    from genie_ray.sources.documents import prepare_documents
+    from genie_ray.stages.extract import ExtractTriples
+    from genie_ray.state.broadcast import put_world
+
+    entities, relations = make_catalogs()
+    world_ref = put_world(World.build(entities, relations))
+    ds = ray.data.read_parquet(_kg_docs_path())
+    ds = prepare_documents(ds, num_partitions=8)
+    gens = ds.map_batches(
+        ExtractTriples,
+        fn_constructor_kwargs={"world_ref": world_ref, "save_full_beams": True},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+    return gens.select_columns(["doc_id", "beam_rank", "prediction", "log_prob"])
+
+
 def _q_explode_sentences(sf_dir: str):
     import os
 
@@ -395,6 +438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         # KG construction (deterministic synthetic input; rows-only)
+        "catalog_from_dump": _q_catalog_from_dump,
+        "kg_beams": _q_kg_beams,
         "kg_triples": _q_kg_triples,
         "kg_graph": _q_kg_graph,
         "micro_eval": _q_micro_eval,
