@@ -391,6 +391,39 @@ def _q_macro_eval(sf_dir: str):
     )
 
 
+def _q_bucket_eval(sf_dir: str):
+    """G6 bucketed metrics (relations bucketed by log2 occurrence) with
+    predictions == targets: every bucket scores 1.0. Rows-only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from genie_ray.core.linearization import linearize_triples
+    from genie_ray.core.oracle import oracle_extract
+    from genie_ray.core.world import World
+    from genie_ray.fixtures import make_catalogs
+    from genie_ray.pipelines.evaluate import (
+        bucket_metrics,
+        parse_sides,
+        per_relation_counters,
+        relation_occurrence,
+    )
+
+    entities, relations = make_catalogs()
+    world = World.build(entities, relations)
+    docs = pq.read_table(_kg_docs_path())
+    golden = oracle_extract(docs, world)
+    rows = [
+        {"doc_id": d, "linearization": linearize_triples(sorted(t))}
+        for d, t in sorted(golden.items())
+    ]
+    t = pa.Table.from_pylist(rows)
+    preds, targets = ray.data.from_arrow(t), ray.data.from_arrow(t)
+    per_rel = per_relation_counters(parse_sides(preds, targets))
+    occ = relation_occurrence(ray.data.from_arrow(t))
+    return bucket_metrics(per_rel, occ)
+
+
 def _q_near_dup_cosine(sf_dir: str):
     import os
 
@@ -444,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_graph": _q_kg_graph,
         "micro_eval": _q_micro_eval,
         "macro_eval": _q_macro_eval,
+        "bucket_eval": _q_bucket_eval,
     }
 
 

@@ -258,8 +258,17 @@ def run_kg_pipeline(
 
     triples_dir = os.path.join(output_dir, "triples")
     graph_dir = os.path.join(output_dir, "graph")
+
+    import pandas as pd
+
+    def _with_cols(df: "pd.DataFrame", cols):
+        # a fully-resumed stage yields an empty dataset with no schema
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        return df
+
     part_summary = extract_to_triples(input_path, triples_dir, world_ref, cfg)
-    parts = part_summary.to_pandas()  # small: one row per partition
+    parts = _with_cols(part_summary.to_pandas(), ["part", "num_rows", "num_docs"])
     graph_summary = build_graph(triples_dir, graph_dir, cfg)
-    buckets = graph_summary.to_pandas()  # small: one row per bucket
+    buckets = _with_cols(graph_summary.to_pandas(), ["bucket", "num_triples"])
     return parts, buckets

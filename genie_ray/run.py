@@ -1,0 +1,112 @@
+"""CLI entry points — the analog of the reference's ``run.py`` mode
+dispatch (`/root/reference/run.py:10-39`: ``train`` / ``evaluate`` /
+``evaluate_from_file``). Modes here:
+
+* ``extract``  — flagship KG pipeline: documents Parquet → triples +
+  deduped graph with lineage manifests (resumable; rerun the same command
+  after a crash and finished partitions are skipped).
+* ``evaluate`` — distributed micro/macro metrics of a predictions table
+  against a targets table (both ``(doc_id, linearization)`` Parquet).
+
+Usage::
+
+    python -m genie_ray.run extract --input docs_dir_or_file.parquet --output /tmp/out
+    python -m genie_ray.run evaluate --predictions p.parquet --targets t.parquet
+
+Owns its Ray session (guarded — the driver/test harness may already have
+one); library modules never call ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def cmd_extract(args) -> dict:
+    from .core.world import World
+    from .fixtures import make_catalogs
+    from .pipelines.kg import KGConfig, run_kg_pipeline
+    from .sources.wikidata import catalogs_from_dump
+
+    if args.catalog_dump:
+        entities, relations = catalogs_from_dump(args.catalog_dump)
+    else:
+        entities, relations = make_catalogs()
+    world = World.build(entities, relations)
+    cfg = KGConfig(
+        num_partitions=args.num_partitions,
+        num_buckets=args.num_buckets,
+        concurrency=args.concurrency,
+        batch_size=args.batch_size,
+        resume=not args.no_resume,
+        decode_mode=args.decode_mode,
+    )
+    parts, buckets = run_kg_pipeline(args.input, args.output, world=world, cfg=cfg)
+    return {
+        "partitions": int(len(parts)),
+        "triples_written": int(parts["num_rows"].sum()),
+        "graph_buckets": int(len(buckets)),
+        "graph_triples": int(buckets["num_triples"].sum()),
+        "output": args.output,
+    }
+
+
+def cmd_evaluate(args) -> dict:
+    import ray.data
+
+    from .pipelines.evaluate import (
+        macro_metrics_distributed,
+        micro_metrics_distributed,
+    )
+
+    preds = ray.data.read_parquet(args.predictions)
+    targets = ray.data.read_parquet(args.targets)
+    micro = micro_metrics_distributed(preds, targets)
+    macro = macro_metrics_distributed(
+        ray.data.read_parquet(args.predictions),
+        ray.data.read_parquet(args.targets),
+    )
+    return {"micro": micro, "macro": macro}
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="genie_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    ex = sub.add_parser("extract")
+    ex.add_argument("--input", required=True)
+    ex.add_argument("--output", required=True)
+    ex.add_argument("--catalog-dump", default=None,
+                    help="optional gz JSONL dump to build catalogs from")
+    ex.add_argument("--num-partitions", type=int, default=16)
+    ex.add_argument("--num-buckets", type=int, default=8)
+    ex.add_argument("--concurrency", type=int, default=4)
+    ex.add_argument("--batch-size", type=int, default=64)
+    ex.add_argument("--decode-mode", default="scan", choices=["scan", "beam"])
+    ex.add_argument("--no-resume", action="store_true")
+    ex.set_defaults(fn=cmd_extract)
+
+    ev = sub.add_parser("evaluate")
+    ev.add_argument("--predictions", required=True)
+    ev.add_argument("--targets", required=True)
+    ev.set_defaults(fn=cmd_evaluate)
+
+    args = ap.parse_args(argv)
+    _ensure_ray(args.num_cpus)
+    print(json.dumps(args.fn(args), default=float))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,3 +59,31 @@ def test_strip_in_linearizer():
         linearize_triples([("  A ", " r", "B  ")])
         == " <sub> A <rel> r <obj> B <et>"
     )
+
+
+# -- property test (SURVEY §5): linearize ∘ parse = identity ------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _word = st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+        min_size=1,
+        max_size=8,
+    )
+    _surface = st.builds(" ".join, st.lists(_word, min_size=1, max_size=4))
+    _triple = st.tuples(_surface, _surface, _surface)
+
+    @given(st.lists(_triple, min_size=0, max_size=6))
+    @settings(max_examples=200, deadline=None)
+    def test_property_roundtrip(triples):
+        from genie_ray.core.linearization import (
+            linearize_triples,
+            parse_linearization,
+        )
+
+        assert parse_linearization(linearize_triples(triples)) == set(triples)
+
+except ImportError:  # hypothesis gated per environment contract
+    pass
