@@ -67,25 +67,54 @@ def _shingles(text: str, k: int) -> set:
     return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
 
 
-def _minhash_sig(shingles: set, num_perm: int, seed: int) -> np.ndarray:
-    """Deterministic minhash via k independent universal hashes over the
-    md5-64 of each shingle."""
-    if not shingles:
+# per-process word-hash memo: corpora are Zipf-distributed, so the md5 of
+# each DISTINCT word is paid once per worker, not once per occurrence
+_WORD_HASH_CACHE: dict = {}
+
+# odd mixing constants for combining word hashes into shingle hashes
+_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA6B27D4EB4F], dtype=np.uint64
+)
+
+
+def _word_hash64(w: str) -> int:
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        h = _WORD_HASH_CACHE[w] = int.from_bytes(
+            hashlib.md5(w.encode()).digest()[:8], "big"
+        )
+    return h
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Deterministic 64-bit hash per distinct k-word shingle: md5-hash each
+    distinct word (memoized), then combine sliding windows with odd-constant
+    multiply-add (uint64 wraparound is deterministic). Vectorized — no
+    per-shingle digest calls."""
+    ws = _WORD_RE.findall((text or "").lower())
+    if not ws:
+        return np.empty(0, dtype=np.uint64)
+    hs = np.array([_word_hash64(w) for w in ws], dtype=np.uint64)
+    kk = min(k, len(hs))
+    with np.errstate(over="ignore"):
+        windows = np.lib.stride_tricks.sliding_window_view(hs, kk)
+        vals = (windows * _MIX[:kk]).sum(axis=1, dtype=np.uint64)
+    return np.unique(vals)  # shingle SET semantics
+
+
+def _minhash_sig(shingle_hashes: np.ndarray, num_perm: int, seed: int) -> np.ndarray:
+    """Deterministic minhash via num_perm independent universal hashes over
+    the 64-bit shingle hashes."""
+    if shingle_hashes.size == 0:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    base = np.array(
-        [
-            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-            for s in shingles
-        ],
-        dtype=np.uint64,
-    )
     rng = np.random.default_rng(seed)
     M = np.uint64((1 << 61) - 1)
     a = rng.integers(1, 1 << 60, size=num_perm, dtype=np.uint64) | np.uint64(1)
     b = rng.integers(0, 1 << 60, size=num_perm, dtype=np.uint64)
     # (a*x+b) mod M for each permutation; outer product then min
     with np.errstate(over="ignore"):
-        vals = (base[None, :] * a[:, None] + b[:, None]) % M
+        vals = (shingle_hashes[None, :] * a[:, None] + b[:, None]) % M
     return vals.min(axis=1)
 
 
@@ -99,7 +128,7 @@ def minhash_signatures_batch(
 ) -> pa.Table:
     ids = batch[id_col].to_pylist()
     sigs = [
-        _minhash_sig(_shingles(t, shingle_k), num_perm, seed)
+        _minhash_sig(_shingle_hashes(t, shingle_k), num_perm, seed)
         for t in batch[text_col].to_pylist()
     ]
     return pa.table(
@@ -225,21 +254,24 @@ def simhash_batch(
     batch: pa.Table, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> pa.Table:
     """64-bit SimHash over word features (md5-derived feature hashes)."""
+    from collections import Counter
+
     ids = batch[id_col].to_pylist()
     out = []
+    shifts = np.arange(bits, dtype=np.uint64)
     for t in batch[text_col].to_pylist():
         words = _WORD_RE.findall((t or "").lower())
         if not words:
             out.append(0)
             continue
-        acc = np.zeros(bits, dtype=np.int64)
-        from collections import Counter
-
-        for w, n in Counter(words).items():
-            h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big"))
-            bitsarr = (h >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bitsarr == 1, n, -n)
-        sig = int("".join("1" if x > 0 else "0" for x in acc[::-1]), 2)
+        counts = Counter(words)
+        uniq = list(counts)
+        n = np.array([counts[w] for w in uniq], dtype=np.int64)
+        hs = np.array([_word_hash64(w) for w in uniq], dtype=np.uint64)
+        # one matrix op per doc: ±count per bit, summed over distinct words
+        bitmat = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((2 * bitmat - 1) * n[:, None]).sum(axis=0)
+        sig = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
         out.append(sig - (1 << 63))  # store as signed int64
     return pa.table(
         {

@@ -150,9 +150,17 @@ def anti_join_unique(sf_dir: str) -> ray.data.Dataset:
     reference's title-dedup shape: collisions removed entirely,
     `utils.py:39-104` / SURVEY.md §2.4 J4)."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey"])
-    counts = ds.groupby("l_orderkey").count()
+
+    def partial(t: pa.Table) -> pa.Table:
+        # lineitem is clustered by orderkey → batch-local counts shrink the
+        # shuffle ~4x before the global sum
+        g = t.group_by("l_orderkey").aggregate([("l_orderkey", "count")])
+        return g.rename_columns(["l_orderkey", "n_partial"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    counts = partials.groupby("l_orderkey").sum("n_partial")
     return counts.map_batches(
-        lambda t: t.filter(pc.equal(t["count()"], 1)).select(["l_orderkey"]),
+        lambda t: t.filter(pc.equal(t["sum(n_partial)"], 1)).select(["l_orderkey"]),
         batch_format="pyarrow",
     )
 
