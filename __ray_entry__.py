@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_counts": R.group_counts,
         "group_agg": R.group_agg,
         "join_enrich": R.join_enrich,
+        "join_shuffle": R.join_shuffle,
         "anti_join_unique": R.anti_join_unique,
         "topk_orders": R.topk_orders,
         "distinct_pairs": R.distinct_pairs,
@@ -506,6 +507,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, "
             "c.c_name, c.c_mktsegment "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "join_shuffle": (
+            "SELECT o.o_orderkey, round(sum(l.l_extendedprice), 2) AS revenue "
+            "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+            "WHERE o.o_orderstatus = 'O' GROUP BY o.o_orderkey"
         ),
         "anti_join_unique": (
             "SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) = 1"

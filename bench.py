@@ -64,19 +64,20 @@ def run_headline(num_cpus: int, n_docs: int, decode_mode: str = "scan") -> dict:
     out = f"/tmp/genie_bench_out_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
 
-    # pool sizing: extraction is ~95% of compute — give it all but two
-    # CPUs; the stateless stages and shuffle tasks run in the slack.
-    # Partition/bucket counts are CONSTANT across parallelism levels so the
-    # 8-CPU and 32-CPU scaling runs execute the identical work shape.
-    concurrency = max(2, num_cpus - 2)
-    cfg = KGConfig(
-        num_partitions=64,
-        num_buckets=32,
-        concurrency=concurrency,
-        batch_size=64,
-        resume=False,
-        decode_mode=decode_mode,
-    )
+    # pool sizing: in beam mode extraction is ~95% of compute — give it
+    # all but two CPUs, with partition/bucket counts CONSTANT across
+    # parallelism levels so the 8- and 32-CPU scaling runs execute the
+    # identical work shape. Scan mode is ~25x cheaper per doc: a small
+    # pool wins because actor startup + per-task latency dominate
+    # (measured: 30 actors 16s vs 8 actors 6s on 5k docs).
+    if decode_mode == "beam":
+        cfg = KGConfig(num_partitions=64, num_buckets=32,
+                       concurrency=max(2, num_cpus - 2), batch_size=64,
+                       resume=False, decode_mode=decode_mode)
+    else:
+        cfg = KGConfig(num_partitions=16, num_buckets=8,
+                       concurrency=min(8, max(2, num_cpus - 2)), batch_size=64,
+                       resume=False, decode_mode=decode_mode)
     t0 = time.perf_counter()
     parts, buckets = run_kg_pipeline(docs_path, out, cfg=cfg)
     sec = time.perf_counter() - t0

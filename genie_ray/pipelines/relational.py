@@ -145,22 +145,44 @@ def join_enrich(sf_dir: str) -> ray.data.Dataset:
     return orders.map_batches(Join, batch_format="pyarrow", concurrency=2)
 
 
+def join_shuffle(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ lineitem on orderkey via Ray Data's native hash join —
+    the big-side⋈big-side path where a broadcast won't fit (contrast
+    ``join_enrich``'s broadcast map-side join). Aggregated per order so
+    the result is compact: revenue = sum(extendedprice) per order over
+    'O'-status orders."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")).select(["o_orderkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    joined = orders.join(
+        items, join_type="inner", num_partitions=16,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+    out = (
+        joined.groupby("o_orderkey")
+        .sum("l_extendedprice")
+        .to_pandas()
+        .rename(columns={"sum(l_extendedprice)": "revenue"})
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out[["o_orderkey", "revenue"]]
+
+
 def anti_join_unique(sf_dir: str) -> ray.data.Dataset:
     """Keys occurring exactly once — single-lineitem orders (the
     reference's title-dedup shape: collisions removed entirely,
     `utils.py:39-104` / SURVEY.md §2.4 J4)."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        # lineitem is clustered by orderkey → batch-local counts shrink the
-        # shuffle ~4x before the global sum
-        g = t.group_by("l_orderkey").aggregate([("l_orderkey", "count")])
-        return g.rename_columns(["l_orderkey", "n_partial"])
-
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    counts = partials.groupby("l_orderkey").sum("n_partial")
+    # no pre-aggregation: ~150k distinct keys over 600k rows spread across
+    # blocks means a batch-local combine shrinks little and costs a pass
+    # (measured slower than the direct groupby)
+    counts = ds.groupby("l_orderkey").count()
     return counts.map_batches(
-        lambda t: t.filter(pc.equal(t["sum(n_partial)"], 1)).select(["l_orderkey"]),
+        lambda t: t.filter(pc.equal(t["count()"], 1)).select(["l_orderkey"]),
         batch_format="pyarrow",
     )
 
