@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_agg": R.group_agg,
         "join_enrich": R.join_enrich,
         "join_shuffle": R.join_shuffle,
+        "q5_region_revenue": R.q5_region_revenue,
+        "brand_volume": R.brand_volume,
         "anti_join_unique": R.anti_join_unique,
         "topk_orders": R.topk_orders,
         "distinct_pairs": R.distinct_pairs,
@@ -512,6 +514,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.o_orderkey, round(sum(l.l_extendedprice), 2) AS revenue "
             "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
             "WHERE o.o_orderstatus = 'O' GROUP BY o.o_orderkey"
+        ),
+        "q5_region_revenue": (
+            "SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) "
+            "  AS revenue "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "  AND c.c_nationkey = s.s_nationkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'ASIA' "
+            "  AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "  AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n.n_name"
+        ),
+        "brand_volume": (
+            "SELECT p.p_brand, round(sum(l.l_quantity), 2) AS sum_qty, "
+            "count(*) AS n "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "GROUP BY p.p_brand"
         ),
         "anti_join_unique": (
             "SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) = 1"

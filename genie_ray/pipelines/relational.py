@@ -187,6 +187,115 @@ def anti_join_unique(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q5-shaped multi-join: revenue per nation of one region over a
+    date window. Plan: the two FACT tables (lineitem ⋈ orders) go through
+    Ray's native hash join; every DIMENSION (region→nation→customer/
+    supplier) is broadcast driver-side as dicts (tiny), applied map-side,
+    with a batch-local combine before the final tiny groupby — the
+    canonical big⋈big + broadcast-dims + pre-aggregate shape."""
+    import ray
+
+    # dims (driver-side, tiny): nations of region ASIA; name lookup
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    asia = set(region[region["r_name"] == "ASIA"]["r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(asia)]
+    nation_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_nation = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    dims_ref = ray.put((nation_name, cust_nation, supp_nation))
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    items = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    joined = orders.join(
+        items, join_type="inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    class DimApply:
+        def __init__(self):
+            self.nation_name, self.cust_nation, self.supp_nation = ray.get(dims_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            # Q5 semantics: customer and supplier in the SAME nation, and
+            # that nation inside the region
+            names = []
+            keep = []
+            for ck, sk in zip(t["o_custkey"].to_pylist(), t["l_suppkey"].to_pylist()):
+                cn = self.cust_nation.get(ck)
+                keep_row = cn is not None and cn == self.supp_nation.get(sk) and cn in self.nation_name
+                keep.append(keep_row)
+                names.append(self.nation_name.get(cn) if keep_row else None)
+            rev = pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+            out = pa.table({"n_name": pa.array(names, pa.string()), "rev": rev})
+            out = out.filter(pa.array(keep, pa.bool_()))
+            # batch-local combine before the tiny global groupby
+            return out.group_by("n_name").aggregate([("rev", "sum")]).rename_columns(
+                ["n_name", "p_rev"]
+            )
+
+    partials = joined.map_batches(DimApply, batch_format="pyarrow", concurrency=2)
+    out = (
+        partials.groupby("n_name")
+        .sum("p_rev")
+        .to_pandas()
+        .rename(columns={"sum(p_rev)": "revenue"})
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out[["n_name", "revenue"]]
+
+
+def brand_volume(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⋈ part (broadcast dimension) → quantity by brand: the
+    small-side broadcast join + pre-aggregated groupby pattern."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+    items = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    class Apply:
+        def __init__(self):
+            self.brand = ray.get(brand_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            brands = [self.brand.get(k) for k in t["l_partkey"].to_pylist()]
+            out = pa.table(
+                {"p_brand": pa.array(brands, pa.string()), "q": t["l_quantity"]}
+            )
+            out = out.filter(pc.is_valid(out["p_brand"]))
+            return out.group_by("p_brand").aggregate([("q", "sum"), ("q", "count")]).rename_columns(
+                ["p_brand", "p_q", "p_n"]
+            )
+
+    partials = items.map_batches(Apply, batch_format="pyarrow", concurrency=2)
+    out = (
+        partials.groupby("p_brand")
+        .sum(["p_q", "p_n"])
+        .to_pandas()
+        .rename(columns={"sum(p_q)": "sum_qty", "sum(p_n)": "n"})
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return out[["p_brand", "sum_qty", "n"]]
+
+
 # -- sort / top-k (O4) -------------------------------------------------------
 
 
