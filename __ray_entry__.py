@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": R.topk_orders,
         "distinct_pairs": R.distinct_pairs,
         "window_tumbling": R.window_tumbling,
+        "session_windows": R.session_windows,
         # text analysis (SQL-checked where expressible)
         "token_counts": _q_token_counts,
         "quality": _q_quality,
@@ -547,6 +548,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS window_start, "
             "count(*) AS n, round(sum(value), 2) AS sum_value "
             "FROM events GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)"
+        ),
+        "session_windows": (
+            "WITH flagged AS ("
+            "  SELECT user_id, ts, value, "
+            "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            "       <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session "
+            "  FROM events), "
+            "numbered AS ("
+            "  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts "
+            "    ROWS UNBOUNDED PRECEDING) AS session FROM flagged) "
+            "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+            "  count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM numbered GROUP BY user_id, session"
         ),
         "token_counts": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "

@@ -187,6 +187,40 @@ def anti_join_unique(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def session_windows(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Gap-based sessionization of the event log: a user's events belong
+    to one session while consecutive gaps stay under ``gap_minutes``.
+    Ray Data expression: hash-partition by user (``groupby.map_groups``),
+    sort each user's events locally by time, split on gap, emit one row
+    per session. The partitioning assumption is the documented one for
+    this operator family: all events of a user fit one group (true for
+    keyed telemetry; a user with unbounded history would need
+    day-bucketing first)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts", kind="mergesort")
+        ts = df["ts"].to_numpy()
+        new_session = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(new_session)
+        g = df.assign(session=sid).groupby("session", as_index=False).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+            sum_value=("value", "sum"),
+        )
+        g.insert(0, "user_id", df["user_id"].iloc[0])
+        return g.drop(columns=["session"])
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
+
+
 def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q5-shaped multi-join: revenue per nation of one region over a
     date window. Plan: the two FACT tables (lineitem ⋈ orders) go through
