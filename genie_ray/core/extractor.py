@@ -225,37 +225,66 @@ class DeterministicExtractor:
             # the scan path is the conformance fallback here
             return self._generate_scan(doc_key, content)
         tok = self.tokenizer
-        on_target: dict = {}
-
-        def prefix_on_target(prefix: Sequence[int]) -> bool:
-            key = tuple(prefix)
-            got = on_target.get(key)
-            if got is None:
-                got = on_target[key] = list(prefix) == target[: len(prefix)]
-            return got
-
-        def score_fn(prefix: Sequence[int], token: int) -> float:
-            pos = len(prefix)
-            if pos < len(target) and token == target[pos] and prefix_on_target(prefix):
-                return 0.0
-            h = hashlib.sha256(f"{doc_key}\x00{pos}\x00{token}".encode()).digest()
-            return -1.0 - int.from_bytes(h[:4], "big") / 2**32
-
-        finished = constrained_beam_search(
-            self.fsm,
-            score_fn,
-            num_beams=self.num_beams,
-            max_length=self.max_output_tokens,
-            eos_token_id=tok.eos_token_id,
-            start_tokens=(tok.eos_token_id,),
+        eos = tok.eos_token_id
+        num_beams = self.num_beams
+        doc_seed = int.from_bytes(
+            hashlib.sha256(doc_key.encode()).digest()[:8], "big"
         )
+
+        def jitter(pos: int, token: int) -> float:
+            # splitmix64-style (deterministic, arithmetic-only): strictly
+            # below -1, so off-target candidates never outrank on-target
+            z = (doc_seed + pos * 0x9E3779B97F4A7C15 + token * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z ^= z >> 31
+            return -1.0 - z / 2**64
+
+        # beams: (seq, log_prob, incremental FSM state, on_target flag).
+        # The incremental state makes each decode step O(1) instead of the
+        # reference closure's O(len) rescans; the on-target flag replaces
+        # per-candidate prefix comparisons.
+        beams = [([eos], 0.0, self.fsm.make_state(), target[0] == eos)]
+        finished: list = []
+        for _ in range(self.max_output_tokens):
+            candidates = []  # (lp, beam_idx, token, on_target) scalar tuples
+            for bi, (seq, lp, st, ontgt) in enumerate(beams):
+                pos = len(seq)
+                for t in st.allowed_tuple():
+                    if ontgt and pos < len(target) and t == target[pos]:
+                        candidates.append((lp, bi, t, True))
+                    else:
+                        candidates.append((lp + jitter(pos, t), bi, t, False))
+            if not candidates:
+                break
+            candidates.sort(key=lambda x: (-x[0], x[1], x[2]))
+            new_beams = []
+            for lp, bi, t, ontgt in candidates:
+                seq = beams[bi][0] + [t]
+                if t == eos and len(seq) > 1:
+                    finished.append((seq, lp))
+                else:
+                    st = beams[bi][2].clone()
+                    st.advance(t)
+                    new_beams.append((seq, lp, st, ontgt))
+                if len(new_beams) >= num_beams:
+                    break
+            beams = new_beams
+            # HF-style stop: no unfinished hypothesis can beat the kept set
+            if len(finished) >= num_beams:
+                worst_kept = sorted(finished, key=lambda x: -x[1])[num_beams - 1][1]
+                if not beams or beams[0][1] <= worst_kept:
+                    break
+
+        finished.sort(key=lambda x: (-x[1], x[0]))
+        finished = finished[:num_beams]
         if not finished:
             return self._generate_scan(doc_key, content)
-        beams = []
+        out = []
         for seq, lp in finished:
             text = target_text if seq == target else tok.decode(seq)
-            beams.append(Beam(text, lp))
-        return beams
+            out.append(Beam(text, lp))
+        return out
 
     def _generate_scan(self, doc_key: str, content: str) -> List[Beam]:
         """Beam 0 is the full extraction; lower beams are deterministic
@@ -320,24 +349,26 @@ def constrained_beam_search(
     beams: List[Tuple[List[int], float]] = [(list(start_tokens), 0.0)]
     finished: List[Tuple[List[int], float]] = []
     for _ in range(max_length):
-        candidates: List[Tuple[List[int], float]] = []
-        for seq, lp in beams:
-            allowed = fsm.allowed(seq)
-            if not allowed:
-                continue
-            for tok in allowed:
-                candidates.append((seq + [tok], lp + score_fn(seq, tok)))
+        # candidates as (lp, beam_idx, token) scalar tuples — full
+        # sequences are materialized only for the ≤num_beams survivors
+        # (per-candidate list copies dominated allocation cost)
+        candidates: List[Tuple[float, int, int]] = []
+        for bi, (seq, lp) in enumerate(beams):
+            for tok in fsm.allowed(seq):
+                candidates.append((lp + score_fn(seq, tok), bi, tok))
         if not candidates:
             break
-        candidates.sort(key=lambda x: (-x[1], x[0]))
-        beams = []
-        for seq, lp in candidates:
-            if seq[-1] == eos_token_id and len(seq) > 1:
+        candidates.sort(key=lambda x: (-x[0], x[1], x[2]))
+        new_beams: List[Tuple[List[int], float]] = []
+        for lp, bi, tok in candidates:
+            seq = beams[bi][0] + [tok]
+            if tok == eos_token_id and len(seq) > 1:
                 finished.append((seq, lp))
             else:
-                beams.append((seq, lp))
-            if len(beams) >= num_beams:
+                new_beams.append((seq, lp))
+            if len(new_beams) >= num_beams:
                 break
+        beams = new_beams
         # HF-style stop: only once no unfinished hypothesis can still beat
         # the worst kept finished beam (scores are ≤ 0 per step, so beam
         # log-probs are non-increasing in length)

@@ -83,6 +83,13 @@ class ConstraintFSM:
         self.relations_trie = relations_trie
         self.bos_as_first_token_generated = bos_as_first_token_generated
 
+        # lazy per-FSM caches for the incremental hot path: post-swap
+        # children tuples and trie-edge steps, keyed by (is_relation_trie,
+        # node). Bounded by visited trie nodes; shared by every beam/state
+        # in the actor.
+        self._children_cache: dict = {}
+        self._step_cache: dict = {}
+
     # -- reference helpers ---------------------------------------------------
 
     def get_status(self, sent: Sequence[int]) -> tuple[int, str]:
@@ -161,6 +168,9 @@ class ConstraintFSM:
 
     # -- validation helper (used by tests and the deterministic backend) ----
 
+    def make_state(self) -> "IncrementalConstraintState":
+        return IncrementalConstraintState(self)
+
     def validate_sequence(self, sent: Sequence[int]) -> bool:
         """True iff every token of ``sent`` (after the first, which is the
         decoder-start convention token) was in the allowed set at its step.
@@ -171,3 +181,111 @@ class ConstraintFSM:
             if sent[i] not in self.allowed(sent[:i]):
                 return False
         return True
+
+
+class IncrementalConstraintState:
+    """O(1)-per-step equivalent of ``ConstraintFSM.allowed``.
+
+    ``ConstraintFSM.allowed`` rescans the whole generated sequence every
+    call (status count, last-tag pointer, trie re-walk) — O(len) per step,
+    exactly like the reference closure (`ie_prefix_constraints.py:144-169`
+    recomputes both per invocation) and HF's ``prefix_allowed_tokens_fn``
+    contract. For beam decode that cost is O(T²) per beam; this state
+    object carries (status, last two tokens, current trie node) forward so
+    each step is O(1) plus one trie-edge lookup. Conformance-tested
+    transition-for-transition against ``ConstraintFSM.allowed``
+    (tests/test_fsm.py) — the reference implementation stays the oracle.
+
+    Cloning is six scalar copies, so a beam search can branch states
+    cheaply per surviving hypothesis.
+    """
+
+    __slots__ = ("fsm", "n", "t1", "t2", "status", "node", "stopped")
+
+    def __init__(self, fsm: ConstraintFSM):
+        self.fsm = fsm
+        self.n = 1  # the decoder-start token is position 0
+        self.t1 = None  # last token
+        self.t2 = None  # second-to-last token
+        self.status = 0
+        self.node = -2  # active trie node; -2 = no active segment (status ob)
+        self.stopped = False
+
+    def clone(self) -> "IncrementalConstraintState":
+        s = IncrementalConstraintState.__new__(IncrementalConstraintState)
+        s.fsm = self.fsm
+        s.n = self.n
+        s.t1 = self.t1
+        s.t2 = self.t2
+        s.status = self.status
+        s.node = self.node
+        s.stopped = self.stopped
+        return s
+
+    def _trie(self):
+        # status 1 = inside subject, 3 = inside object (entities);
+        # 2 = inside relation
+        return self.fsm.relations_trie if self.status == 2 else self.fsm.entities_trie
+
+    def advance(self, t: int) -> None:
+        fsm = self.fsm
+        c = fsm.codes
+        if self.n > 1 and t == c["EOS"]:
+            self.stopped = True
+        if (
+            self.t2 == c["start_of_tag"]
+            and self.t1 in fsm.tag_codes
+            and t == c["end_of_tag"]
+        ):
+            # a <tag> just completed: bump status, enter a fresh segment
+            self.status = (self.status + 1) % 4
+            self.node = 0 if self.status != 0 else -2
+        elif (
+            t != c["start_of_tag"]
+            and self.t1 != c["start_of_tag"]
+            and self.node >= 0
+        ):
+            # plain token inside a segment: one (cached) trie edge
+            key = (self.status == 2, self.node, t)
+            nxt = fsm._step_cache.get(key)
+            if nxt is None:
+                nxt = fsm._step_cache[key] = self._trie().step(self.node, t)
+            self.node = nxt
+        self.t2, self.t1 = self.t1, t
+        self.n += 1
+
+    def allowed_tuple(self) -> tuple:
+        """Allowed next tokens as a (possibly shared, do-not-mutate) tuple —
+        the beam-decode hot path. Children tuples are memoized per trie
+        node with the EOS→``<`` swap pre-applied, so steady-state calls
+        allocate nothing."""
+        fsm = self.fsm
+        c = fsm.codes
+        if self.stopped:
+            return ()
+        if fsm.bos_as_first_token_generated and self.n == 1:
+            return (c["BOS"],)
+        if self.t1 == c["start_of_tag"]:
+            return (c[fsm._status_next_token_name[self.status]],)
+        if self.t2 == c["start_of_tag"]:
+            if self.t1 in fsm.tag_codes:
+                return (c["end_of_tag"],)
+            return ()
+        if self.status == 0:
+            return (c["start_of_tag"], c["EOS"])
+        if self.node < 0:
+            return ()
+        key = (self.status == 2, self.node)
+        cached = fsm._children_cache.get(key)
+        if cached is None:
+            trie = self._trie()
+            lo, hi = int(trie.node_start[self.node]), int(trie.node_start[self.node + 1])
+            allowed = trie.edge_tokens[lo:hi].tolist()
+            if c["EOS"] in allowed:
+                allowed.remove(c["EOS"])
+                allowed.append(c["start_of_tag"])
+            cached = fsm._children_cache[key] = tuple(allowed)
+        return cached
+
+    def allowed(self) -> List[int]:
+        return list(self.allowed_tuple())

@@ -84,9 +84,12 @@ def extract_to_triples(
 
     # enough read tasks to feed the extract pool (capped by the file's
     # row-group count; harmless when the input already has many files)
+    # ~8 tasks per extract actor: fine enough that the last wave's
+    # quantization loss is small, coarse enough that per-task overhead
+    # stays negligible
     ds = read_documents(
         input_path,
-        override_num_blocks=max(cfg.concurrency * 4, cfg.num_partitions),
+        override_num_blocks=max(cfg.concurrency * 8, cfg.num_partitions),
     )
     ds = prepare_documents(ds, num_partitions=cfg.num_partitions)
     ds = _filter_parts(ds, done)

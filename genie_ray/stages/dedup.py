@@ -53,8 +53,7 @@ def partial_triple_agg(batch: pa.Table, num_buckets: int, max_doc_ids: int) -> p
             agg[k] = [1, {d}]
         else:
             got[0] += 1
-            if len(got[1]) < max_doc_ids:
-                got[1].add(d)
+            got[1].add(d)  # batch-bounded; capped deterministically below
     b_s, b_r, b_o, b_n, b_d, b_b = [], [], [], [], [], []
     for (s, r, o), (n, ds) in agg.items():
         b_s.append(s)
@@ -91,8 +90,12 @@ def merge_triple_partials(group: pa.Table, max_doc_ids: int) -> pa.Table:
             agg[k] = [n, set(ds)]
         else:
             got[0] += n
-            if len(got[1]) < max_doc_ids:
-                got[1].update(ds)
+            # unconditional union: a capacity-gated add would make the
+            # retained sample depend on partial ARRIVAL ORDER, breaking
+            # byte-identical output under retries; the union is bounded
+            # (each partial row is already capped at max_doc_ids) and the
+            # deterministic sorted()[:max_doc_ids] cap is applied below
+            got[1].update(ds)
     keys = sorted(agg.keys())
     return pa.table(
         {

@@ -131,3 +131,25 @@ def test_bos_not_forced_when_disabled(setup):
                          bos_as_first_token_generated=False)
     allowed = fsm2.allowed([tok.eos_token_id])
     assert sorted(allowed) == sorted([w["<"], tok.eos_token_id])
+
+
+def test_incremental_state_conformance(small_world):
+    """IncrementalConstraintState must agree with the reference-faithful
+    ConstraintFSM.allowed at EVERY step of randomly driven constrained
+    walks (seeded)."""
+    import random
+
+    fsm = small_world.make_extractor().fsm
+    eos = small_world.tokenizer.eos_token_id
+    rng = random.Random(7)
+    for walk in range(60):
+        seq = [eos]
+        state = fsm.make_state()
+        for _step in range(80):
+            ref_allowed = fsm.allowed(seq)
+            assert state.allowed() == ref_allowed, (walk, seq)
+            if not ref_allowed:
+                break
+            t = rng.choice(ref_allowed)
+            seq.append(t)
+            state.advance(t)
