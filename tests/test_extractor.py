@@ -150,3 +150,22 @@ def test_beam_decode_truncation_cap(small_world):
     assert ex.extract_triples(head) == [
         ("Alpha Engine 0", "depends on", "Beta Engine 1")
     ]
+
+
+def test_hf_backend_gated_and_regroup():
+    """The HF backend raises cleanly without torch; its pure beam-regroup
+    logic matches the reference sort semantics (genie_base_pl.py:507-536)."""
+    import pytest
+
+    from genie_ray.core.hf_backend import HFConstrainedBackend, regroup_beams
+
+    grouped = regroup_beams(
+        ["a", "b", "c", "d"], [-0.5, -0.1, -0.9, -0.2], num_inputs=2,
+        num_return_sequences=2,
+    )
+    assert [b.text for b in grouped[0]] == ["b", "a"]  # sorted desc
+    assert [b.text for b in grouped[1]] == ["d", "c"]
+
+    ents = small = None
+    with pytest.raises(NotImplementedError):
+        HFConstrainedBackend("some/ckpt", ents, small)
