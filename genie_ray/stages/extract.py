@@ -29,13 +29,25 @@ class ExtractTriples:
     """Actor-pool callable: one World fetch per actor, per-batch generate."""
 
     def __init__(self, world_ref, num_beams: int = 10, validate_with_fsm: bool = False,
-                 save_full_beams: bool = False, decode_mode: str = "scan"):
+                 save_full_beams: bool = False, decode_mode: str = "scan",
+                 backend: str = "deterministic", checkpoint_path: str = ""):
         world = get_world(world_ref)
-        self.extractor = world.make_extractor(
-            num_beams=num_beams,
-            validate_with_fsm=validate_with_fsm,
-            decode_mode=decode_mode,
-        )
+        if backend == "hf":
+            # production slot: real BART weights, same FSM/tries (loads
+            # once per actor; raises cleanly where torch is absent)
+            from ..core.hf_backend import HFConstrainedBackend
+
+            self.extractor = HFConstrainedBackend(
+                checkpoint_path,
+                world.entities_trie,
+                world.relations_trie,
+            )
+        else:
+            self.extractor = world.make_extractor(
+                num_beams=num_beams,
+                validate_with_fsm=validate_with_fsm,
+                decode_mode=decode_mode,
+            )
         self.save_full_beams = save_full_beams
 
     def __call__(self, batch: pa.Table) -> pa.Table:
