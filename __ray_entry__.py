@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_unique": R.anti_join_unique,
         "topk_orders": R.topk_orders,
         "distinct_pairs": R.distinct_pairs,
+        "props_extract": R.props_extract,
         "window_tumbling": R.window_tumbling,
         "session_windows": R.session_windows,
         # text analysis (SQL-checked where expressible)
@@ -544,6 +545,10 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
         ),
         "distinct_pairs": "SELECT DISTINCT lang, source FROM documents",
+        "props_extract": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+            "FROM events"
+        ),
         "window_tumbling": (
             "SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS window_start, "
             "count(*) AS n, round(sum(value), 2) AS sum_value "

@@ -142,7 +142,7 @@ def main() -> None:
         # remaining cores busy — both levels then execute at identical
         # per-core speed and the ratio measures the ENGINE's scaling.
         # Best-of-2 per level (interleaved) removes session-teardown noise.
-        total_cores = 32
+        total_cores = os.cpu_count() or 32
         results = {8: [], 32: []}
         first = True
         for cpus in (32, 8, 32, 8):

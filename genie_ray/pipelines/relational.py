@@ -350,6 +350,32 @@ def distinct_pairs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# -- JSON scalar extraction (reference M10-style record parsing) -------------
+
+
+def props_extract(sf_dir: str) -> ray.data.Dataset:
+    """Parse the JSON ``props`` column and project a field — the scalar
+    JSON-parse family (reference dump-record parsing,
+    `process_wikidata_dump.py:66`), vectorized per batch."""
+    import json
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = []
+        for p in t["props"].to_pylist():
+            try:
+                v = json.loads(p).get("k") if p else None
+            except (ValueError, AttributeError):
+                v = None
+            ks.append(v)
+        return pa.table(
+            {"event_id": t["event_id"], "k": pa.array(ks, pa.int64())}
+        )
+
+    return ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # -- windowed aggregate over the event log (streaming-shaped) ----------------
 
 
