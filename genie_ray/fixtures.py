@@ -105,6 +105,36 @@ def _doc_content(
     return content, facts
 
 
+def make_documents_range(
+    start: int,
+    end: int,
+    seed: int,
+    ents: List[str],
+    rels: List[str],
+) -> pa.Table:
+    """Rows [start, end) of the documents table — every row is a pure
+    function of ``(seed, i)``, so ranges can be generated in parallel and
+    concatenate to exactly the serial table."""
+    repo, path, commit, lang, content = [], [], [], [], []
+    for i in range(start, end):
+        repo.append(f"org{i % 7}/repo{i % 23}")
+        ext = LANGS[i % len(LANGS)]
+        path.append(f"src/mod{i % 11}/file{i}.{ext}")
+        commit.append(sha256_hex(f"commit{i}")[:40])
+        lang.append(ext)
+        c, _facts = _doc_content(i, seed, ents, rels)
+        content.append(c)
+    return pa.table(
+        {
+            "repo": pa.array(repo, pa.string()),
+            "path": pa.array(path, pa.string()),
+            "commit": pa.array(commit, pa.string()),
+            "lang": pa.array(lang, pa.string()),
+            "content": pa.array(content, pa.large_string()),
+        }
+    )
+
+
 def make_documents(
     n_docs: int = 200,
     seed: int = 42,
@@ -156,18 +186,51 @@ def write_documents_parquet(
 
     import pyarrow.parquet as pq
 
-    table = make_documents(n_docs=n_docs, seed=seed)
     if n_files is None:
         n_files = max(1, n_docs // 2000)
     if n_files == 1:
-        pq.write_table(table, path, row_group_size=256)
+        pq.write_table(
+            make_documents(n_docs=n_docs, seed=seed), path, row_group_size=256
+        )
         return path
+
     os.makedirs(path, exist_ok=True)
-    per = (table.num_rows + n_files - 1) // n_files
-    for f in range(n_files):
-        chunk = table.slice(f * per, per)
-        if chunk.num_rows:
+    per = (n_docs + n_files - 1) // n_files
+    entities, relations = make_catalogs()
+    ents = entities.dedup_surfaces().surfaces()
+    rels = relations.dedup_surfaces().surfaces()
+    ranges = [
+        (f, f * per, min((f + 1) * per, n_docs))
+        for f in range(n_files)
+        if f * per < n_docs
+    ]
+
+    try:
+        import ray
+
+        use_ray = ray.is_initialized()
+    except ImportError:
+        use_ray = False
+
+    if use_ray:
+        # every row is a pure function of (seed, i): one task per file,
+        # generating and writing its slice in parallel
+        import ray
+
+        @ray.remote
+        def _gen(f: int, start: int, end: int, ents_, rels_) -> None:
+            t = make_documents_range(start, end, seed, ents_, rels_)
             pq.write_table(
-                chunk, os.path.join(path, f"part-{f:05d}.parquet"), row_group_size=256
+                t, os.path.join(path, f"part-{f:05d}.parquet"), row_group_size=256
+            )
+
+        ents_ref, rels_ref = ray.put(ents), ray.put(rels)
+        ray.get([_gen.remote(f, s, e, ents_ref, rels_ref) for f, s, e in ranges])
+    else:
+        for f, s, e in ranges:
+            pq.write_table(
+                make_documents_range(s, e, seed, ents, rels),
+                os.path.join(path, f"part-{f:05d}.parquet"),
+                row_group_size=256,
             )
     return path
