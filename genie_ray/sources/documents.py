@@ -89,3 +89,19 @@ def split_by_skew(
         zero_copy_batch=True,
     )
     return normal, long
+
+
+def read_src_target(src_path: str, trg_path: str) -> ray.data.Dataset:
+    """S2: line-aligned parallel text reader — the reference's legacy
+    ``{split}.source``/``{split}.target`` format
+    (`/root/reference/genie/datamodule/datasets.py:32-39`). Row i of the
+    result pairs line i of each file (``Dataset.zip`` is positional, and
+    single-file ``read_text`` preserves line order)."""
+    src = ray.data.read_text(src_path)
+    trg = ray.data.read_text(trg_path)
+    pair = src.zip(trg)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t[t.column_names[0]], "trg": t[t.column_names[1]]})
+
+    return pair.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

@@ -213,3 +213,23 @@ def test_explode_sentences_reference_regex(ray_session):
             ref.append((i, s))
     got = list(out.sort_values(["doc_id", "sentence"]).itertuples(index=False, name=None))
     assert sorted(ref) == sorted(got)
+
+
+def test_src_target_reader_pairs_lines(ray_session, tmp_path):
+    """S2 legacy parallel text reader: positional pairing survives."""
+    from genie_ray.sources.documents import read_src_target
+
+    (tmp_path / "t.source").write_text("s0\ns1\ns2\n")
+    (tmp_path / "t.target").write_text("t0\nt1\nt2\n")
+    got = read_src_target(str(tmp_path / "t.source"), str(tmp_path / "t.target"))
+    rows = sorted((r["src"], r["trg"]) for r in got.take_all())
+    assert rows == [("s0", "t0"), ("s1", "t1"), ("s2", "t2")]
+
+
+def test_seeded_shuffle_deterministic(ray_session):
+    """O6: ds.random_shuffle(seed) must be reproducible across runs."""
+    ds = ray.data.range(1000)
+    a = [r["id"] for r in ds.random_shuffle(seed=123).take_all()]
+    b = [r["id"] for r in ray.data.range(1000).random_shuffle(seed=123).take_all()]
+    assert a == b
+    assert a != list(range(1000))
