@@ -151,7 +151,7 @@ def main() -> None:
             first = False
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
             spinners = []
-            if cpus < total_cores:
+            if cpus < total_cores and shutil.which("taskset"):
                 spin_src = (
                     "import time\nx=0\nwhile True:\n for i in range(1000000): x+=i*i"
                 )
@@ -161,11 +161,18 @@ def main() -> None:
                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
                     ))
             try:
+                # pin only within the online core range; on hosts with
+                # fewer cores than the level, run unpinned (oversubscribed)
+                pin_hi = min(cpus, total_cores) - 1
+                prefix = (
+                    ["taskset", "-c", f"0-{pin_hi}"]
+                    if shutil.which("taskset") and pin_hi >= 0
+                    else []
+                )
                 out = subprocess.run(
-                    ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
-                     os.path.abspath(__file__),
-                     "--headline-only", "--n-docs", str(n_docs),
-                     "--decode-mode", decode_mode],
+                    prefix + [sys.executable, os.path.abspath(__file__),
+                              "--headline-only", "--n-docs", str(n_docs),
+                              "--decode-mode", decode_mode],
                     env=env, capture_output=True, text=True, check=True,
                 )
             finally:

@@ -230,7 +230,10 @@ class IncrementalConstraintState:
     def advance(self, t: int) -> None:
         fsm = self.fsm
         c = fsm.codes
-        if self.n > 1 and t == c["EOS"]:
+        if t == c["EOS"]:
+            # position 0 is the decoder-start token and never passes
+            # through advance(), so ANY generated EOS stops (the
+            # reference's len(sent)>1 guard, `:178-179`)
             self.stopped = True
         if (
             self.t2 == c["start_of_tag"]

@@ -71,16 +71,32 @@ def _shingles(text: str, k: int) -> set:
 # each DISTINCT word is paid once per worker, not once per occurrence
 _WORD_HASH_CACHE: dict = {}
 
-# odd mixing constants for combining word hashes into shingle hashes
-_MIX = np.array(
-    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
-     0x27D4EB2F165667C5, 0x85EBCA6B27D4EB4F], dtype=np.uint64
-)
+# odd mixing constants for combining word hashes into shingle hashes;
+# extended deterministically (splitmix of the index) for any shingle_k
+_MIX_CACHE: dict = {}
+
+
+def _mix_constants(k: int) -> np.ndarray:
+    got = _MIX_CACHE.get(k)
+    if got is None:
+        cs = []
+        for i in range(k):
+            z = ((i + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            cs.append((z ^ (z >> 31)) | 1)  # odd
+        got = _MIX_CACHE[k] = np.array(cs, dtype=np.uint64)
+    return got
+
+
+_WORD_CACHE_LIMIT = 2_000_000  # bound the memo on high-cardinality corpora
 
 
 def _word_hash64(w: str) -> int:
     h = _WORD_HASH_CACHE.get(w)
     if h is None:
+        if len(_WORD_HASH_CACHE) >= _WORD_CACHE_LIMIT:
+            _WORD_HASH_CACHE.clear()  # amortized reset beats unbounded growth
         h = _WORD_HASH_CACHE[w] = int.from_bytes(
             hashlib.md5(w.encode()).digest()[:8], "big"
         )
@@ -99,7 +115,7 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     kk = min(k, len(hs))
     with np.errstate(over="ignore"):
         windows = np.lib.stride_tricks.sliding_window_view(hs, kk)
-        vals = (windows * _MIX[:kk]).sum(axis=1, dtype=np.uint64)
+        vals = (windows * _mix_constants(kk)).sum(axis=1, dtype=np.uint64)
     return np.unique(vals)  # shingle SET semantics
 
 

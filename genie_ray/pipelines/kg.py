@@ -57,6 +57,10 @@ class KGConfig:
     # "scan" = fast direct extraction; "beam" = full constrained beam
     # search (reference decode-loop compute shape), identical top-1 output
     decode_mode: str = "scan"
+    # "deterministic" (conformance) | "hf" (real BART weights; requires
+    # torch+transformers and a checkpoint path)
+    backend: str = "deterministic"
+    checkpoint_path: str = ""
 
 
 def _filter_parts(ds: ray.data.Dataset, done: set) -> ray.data.Dataset:
@@ -112,6 +116,8 @@ def extract_to_triples(
             "world_ref": world_ref,
             "num_beams": cfg.num_beams,
             "decode_mode": cfg.decode_mode,
+            "backend": cfg.backend,
+            "checkpoint_path": cfg.checkpoint_path,
         },
         batch_format="pyarrow",
         batch_size=cfg.batch_size,

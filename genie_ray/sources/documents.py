@@ -96,9 +96,12 @@ def read_src_target(src_path: str, trg_path: str) -> ray.data.Dataset:
     ``{split}.source``/``{split}.target`` format
     (`/root/reference/genie/datamodule/datasets.py:32-39`). Row i of the
     result pairs line i of each file (``Dataset.zip`` is positional, and
-    single-file ``read_text`` preserves line order)."""
-    src = ray.data.read_text(src_path)
-    trg = ray.data.read_text(trg_path)
+    single-file ``read_text`` preserves line order). ``drop_empty_lines``
+    must be off on BOTH sides: an empty target line is exactly what a
+    document with zero triples looks like, and dropping it would shift
+    every subsequent pairing."""
+    src = ray.data.read_text(src_path, drop_empty_lines=False)
+    trg = ray.data.read_text(trg_path, drop_empty_lines=False)
     pair = src.zip(trg)
 
     def rename(t: pa.Table) -> pa.Table:

@@ -35,12 +35,15 @@ class ExtractTriples:
         if backend == "hf":
             # production slot: real BART weights, same FSM/tries (loads
             # once per actor; raises cleanly where torch is absent)
-            from ..core.hf_backend import HFConstrainedBackend
+            from ..core.hf_backend import HFConstrainedBackend, HFGenerationParams
 
             self.extractor = HFConstrainedBackend(
                 checkpoint_path,
                 world.entities_trie,
                 world.relations_trie,
+                params=HFGenerationParams(
+                    num_beams=num_beams, num_return_sequences=num_beams
+                ),
             )
         else:
             self.extractor = world.make_extractor(
@@ -50,15 +53,28 @@ class ExtractTriples:
             )
         self.save_full_beams = save_full_beams
 
+    def _beams_per_doc(self, doc_ids, contents):
+        """One beam list per document. Batched backends (generate_batch,
+        e.g. the HF model — one padded generate call per Arrow batch) are
+        called once; per-doc backends loop."""
+        gen_batch = getattr(self.extractor, "generate_batch", None)
+        if gen_batch is not None:
+            return gen_batch(contents)
+        return [
+            self.extractor.generate(did, content)
+            for did, content in zip(doc_ids, contents)
+        ]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         contents = batch["content"].to_pylist()
         parts = batch["part"].to_pylist() if "part" in batch.column_names else [0] * len(doc_ids)
+        all_beams = self._beams_per_doc(doc_ids, contents)
 
         if self.save_full_beams:
             o_doc, o_part, o_rank, o_text, o_lp = [], [], [], [], []
-            for did, part, content in zip(doc_ids, parts, contents):
-                for rank, beam in enumerate(self.extractor.generate(did, content)):
+            for did, part, beams in zip(doc_ids, parts, all_beams):
+                for rank, beam in enumerate(beams):
                     o_doc.append(did)
                     o_part.append(part)
                     o_rank.append(rank)
@@ -75,8 +91,7 @@ class ExtractTriples:
             )
 
         preds, lps, nbeams = [], [], []
-        for did, content in zip(doc_ids, contents):
-            beams = self.extractor.generate(did, content)
+        for beams in all_beams:
             top = select_top1(beams)
             preds.append(top)
             lps.append(beams[0].log_prob if beams else float("-inf"))

@@ -152,9 +152,10 @@ def test_beam_decode_truncation_cap(small_world):
     ]
 
 
-def test_hf_backend_gated_and_regroup():
-    """The HF backend raises cleanly without torch; its pure beam-regroup
-    logic matches the reference sort semantics (genie_base_pl.py:507-536)."""
+def test_hf_backend_gated_and_regroup(small_world):
+    """The HF backend raises cleanly where torch is absent; its pure
+    beam-regroup logic matches the reference sort semantics
+    (genie_base_pl.py:507-536)."""
     import pytest
 
     from genie_ray.core.hf_backend import HFConstrainedBackend, regroup_beams
@@ -166,6 +167,13 @@ def test_hf_backend_gated_and_regroup():
     assert [b.text for b in grouped[0]] == ["b", "a"]  # sorted desc
     assert [b.text for b in grouped[1]] == ["d", "c"]
 
-    ents = small = None
+    try:
+        import torch  # noqa: F401
+
+        pytest.skip("torch present: the import gate does not apply")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
-        HFConstrainedBackend("some/ckpt", ents, small)
+        HFConstrainedBackend(
+            "some/ckpt", small_world.entities_trie, small_world.relations_trie
+        )

@@ -153,3 +153,30 @@ def test_incremental_state_conformance(small_world):
             t = rng.choice(ref_allowed)
             seq.append(t)
             state.advance(t)
+
+
+def test_incremental_state_conformance_no_forced_bos(small_world):
+    """Same conformance walk with bos_as_first_token_generated=False —
+    covers the EOS-as-first-generated-token stop divergence."""
+    import random
+
+    from genie_ray.core.fsm import ConstraintFSM
+
+    w = small_world
+    fsm = ConstraintFSM(
+        w.tokenizer, w.entities_trie, w.relations_trie,
+        bos_as_first_token_generated=False,
+    )
+    eos = w.tokenizer.eos_token_id
+    rng = random.Random(11)
+    for walk in range(40):
+        seq = [eos]
+        state = fsm.make_state()
+        for _step in range(60):
+            ref_allowed = fsm.allowed(seq)
+            assert state.allowed() == ref_allowed, (walk, seq)
+            if not ref_allowed:
+                break
+            t = rng.choice(ref_allowed)
+            seq.append(t)
+            state.advance(t)

@@ -233,3 +233,26 @@ def test_seeded_shuffle_deterministic(ray_session):
     b = [r["id"] for r in ray.data.range(1000).random_shuffle(seed=123).take_all()]
     assert a == b
     assert a != list(range(1000))
+
+
+def test_src_target_reader_keeps_empty_lines(ray_session, tmp_path):
+    """An empty target line (doc with zero triples) must not shift the
+    positional pairing."""
+    from genie_ray.sources.documents import read_src_target
+
+    (tmp_path / "e.source").write_text("s0\ns1\ns2\n")
+    (tmp_path / "e.target").write_text("t0\n\nt2\n")
+    got = read_src_target(str(tmp_path / "e.source"), str(tmp_path / "e.target"))
+    rows = sorted((r["src"], r["trg"]) for r in got.take_all())
+    assert rows == [("s0", "t0"), ("s1", ""), ("s2", "t2")]
+
+
+def test_minhash_arbitrary_shingle_k(docs_ds):
+    """shingle_k above the default mixing-constant count must work."""
+    from genie_ray.functions.dedup import minhash_signatures_batch
+
+    t = _docs_table()
+    out = minhash_signatures_batch(t, shingle_k=7)
+    assert out.num_rows == t.num_rows
+    out2 = minhash_signatures_batch(t, shingle_k=7)
+    assert out.equals(out2)  # deterministic
