@@ -118,6 +118,19 @@ class DeterministicExtractor:
         # catalog string (e.g. "pkg.module", which tokenizes to 3 tokens and
         # would not round-trip through a whitespace join)
         self.surface_lookup = surface_lookup or {}
+        # fast-reject sets: a scan position can only start a match if its
+        # token is a root child of the trie — most corpus words are not,
+        # and a set probe is ~10x cheaper than a trie step
+        self._ent_roots = frozenset(
+            entities_trie.edge_tokens[
+                entities_trie.node_start[0]:entities_trie.node_start[1]
+            ].tolist()
+        )
+        self._rel_roots = frozenset(
+            relations_trie.edge_tokens[
+                relations_trie.node_start[0]:relations_trie.node_start[1]
+            ].tolist()
+        )
 
     def _surface_of(self, word_ids: Sequence[int], ws: Sequence[str], i: int, end: int) -> str:
         key = tuple(word_ids[i:end])
@@ -170,7 +183,12 @@ class DeterministicExtractor:
             word_ids = [tok.word2id.get(w, tok.unk_token_id) for w in ws]
             i = 0
             n = len(word_ids)
+            ent_roots = self._ent_roots
+            rel_roots = self._rel_roots
             while i < n:
+                if word_ids[i] not in ent_roots:  # fast reject
+                    i += 1
+                    continue
                 s_end = self._longest_match(word_ids, i, self.entities_trie)
                 if s_end is None:
                     i += 1
@@ -180,7 +198,8 @@ class DeterministicExtractor:
                 j = s_end
                 r_end = None
                 while j < n and r_end is None:
-                    r_end = self._longest_match(word_ids, j, self.relations_trie)
+                    if word_ids[j] in rel_roots:
+                        r_end = self._longest_match(word_ids, j, self.relations_trie)
                     if r_end is None:
                         j += 1
                 if r_end is None:
@@ -191,7 +210,8 @@ class DeterministicExtractor:
                 k = r_end
                 o_end = None
                 while k < n and o_end is None:
-                    o_end = self._longest_match(word_ids, k, self.entities_trie)
+                    if word_ids[k] in ent_roots:
+                        o_end = self._longest_match(word_ids, k, self.entities_trie)
                     if o_end is None:
                         k += 1
                 if o_end is None:
