@@ -365,7 +365,13 @@ def constrained_beam_search(
     (ending in EOS) are ranked by total log-prob. Mirrors the decode loop
     the reference delegates to HF ``generate`` (`genie_base_pl.py:497-505`)
     with ``num_beams = num_return_sequences``
-    (`configs/model/inference/default.yaml:6-7`)."""
+    (`configs/model/inference/default.yaml:6-7`).
+
+    This is the reference-shaped API kept for conformance tests; the
+    production decoder is ``DeterministicExtractor._generate_beam``, which
+    runs the same skeleton (candidate ranking, survivor selection,
+    HF-style stop) over ``IncrementalConstraintState`` for O(1) steps —
+    keep the two stop/tie-break rules in sync."""
     beams: List[Tuple[List[int], float]] = [(list(start_tokens), 0.0)]
     finished: List[Tuple[List[int], float]] = []
     for _ in range(max_length):
