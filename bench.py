@@ -132,7 +132,7 @@ def main() -> None:
         # decode (the reference decode-loop compute shape) so throughput is
         # extraction-dominated, as it is for the real seq2seq backend.
         decode_mode = args.decode_mode or "beam"
-        n_docs = args.n_docs or 120_000
+        n_docs = args.n_docs or 160_000
         # Load-equalized measurement (sandbox stand-in for N vs 4N NODES):
         # this VM slows every core ~1.27x once the whole socket is busy
         # (frequency/steal — measured with a pure-ALU loop and no shared
