@@ -7,6 +7,13 @@ DuckDB (row-count + schema + order-insensitive value-hash →
 CORRECTNESS_r{N}.json). Results may be a ``ray.data.Dataset``, a
 ``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
 
+KG-domain queries are checked against SINGLE-PROCESS golden artifacts
+(``genie_ray.golden``): the reference-semantics oracle loop materializes
+its outputs as Parquet under a code-fingerprinted /tmp directory, and the
+``oracle_sql`` entries are DuckDB ``read_parquet`` scans + SQL metric
+arithmetic over those files. Both ``queries()`` and ``oracle_sql()``
+ensure the artifacts exist, so either side may run first.
+
 Ray is initialised by the driver BEFORE this module is imported: no
 ``ray.init()`` / ``ray.shutdown()`` here or in the library code.
 """
@@ -18,6 +25,31 @@ from typing import Any
 
 # Stopword / punctuation definitions shared verbatim with the SQL oracles
 _SQL_STOPWORDS = "('the','and','of','a','to','in','is')"
+
+# Relation sets shared between the zero-shot filter queries and their SQL
+# oracles (surfaces from the deterministic fixture catalogs)
+_DROP_RELS = ("imports", "calls")
+_NOT_KEEP_RELS = ("imports", "calls", "extends", "wraps", "tests")
+_IGNORE_RELS = ("depends on", "extends", "imports")
+
+
+def _sql_set(values) -> str:
+    return "(" + ",".join(f"'{v}'" for v in values) + ")"
+
+
+def _keep_rels() -> tuple:
+    from genie_ray.fixtures import make_catalogs
+
+    _, relations = make_catalogs()
+    return tuple(
+        s for s in relations.dedup_surfaces().surfaces() if s not in _NOT_KEEP_RELS
+    )
+
+
+def _golden():
+    from genie_ray.golden import ensure_golden
+
+    return ensure_golden()
 
 
 def entry() -> Any:
@@ -51,21 +83,15 @@ def entry() -> Any:
 
 
 # ---------------------------------------------------------------------------
-# KG-domain callables (deterministic synthetic input; not SQL-expressible →
-# rows-only checks; the pytest suite gates them against the single-process
-# oracle at micro-P/R == 1.0)
+# KG-domain callables — inputs and oracles come from the golden artifacts
+# (single-process reference loop materialized as Parquet, genie_ray.golden)
 # ---------------------------------------------------------------------------
 
 
-def _kg_docs_path(n_docs: int = 300) -> str:
-    import os
-
-    from genie_ray.fixtures import write_documents_parquet
-
-    path = f"/tmp/genie_ray_kgdocs_{n_docs}.parquet"
-    if not os.path.exists(path):
-        write_documents_parquet(path, n_docs=n_docs, seed=42)
-    return path
+def _kg_docs_path() -> str:
+    """The golden documents table (content-fingerprinted cache: fixture or
+    oracle code changes regenerate it automatically)."""
+    return _golden()["docs"]
 
 
 def _q_kg_triples(sf_dir: str):
@@ -110,32 +136,109 @@ def _q_kg_graph(sf_dir: str):
     )
 
 
+def _round6(d: dict) -> dict:
+    return {k: (round(v, 6) if isinstance(v, float) else v) for k, v in d.items()}
+
+
 def _q_micro_eval(sf_dir: str):
-    """Distributed micro metrics where predictions == oracle targets
-    (must yield P=R=F1=1.0); returns the one-row metric table."""
+    """Distributed micro metrics: perturbed golden predictions vs golden
+    targets — non-trivial P/R/F1 both the Ray engine and the SQL oracle
+    compute independently from the same two Parquet inputs."""
     import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     import ray.data
 
-    from genie_ray.core.linearization import linearize_triples
-    from genie_ray.core.oracle import oracle_extract
-    from genie_ray.core.world import World
-    from genie_ray.fixtures import make_catalogs
     from genie_ray.pipelines.evaluate import micro_metrics_distributed
 
-    entities, relations = make_catalogs()
-    world = World.build(entities, relations)
-    docs = pq.read_table(_kg_docs_path())
-    golden = oracle_extract(docs, world)
-    rows = [
-        {"doc_id": d, "linearization": linearize_triples(sorted(t))}
-        for d, t in sorted(golden.items())
-    ]
-    t = pa.Table.from_pylist(rows)
-    preds = ray.data.from_arrow(t)
-    targets = ray.data.from_arrow(t)
-    return pd.DataFrame([micro_metrics_distributed(preds, targets)])
+    paths = _golden()
+    preds = ray.data.read_parquet(paths["preds"])
+    targets = ray.data.read_parquet(paths["samples"])
+    return pd.DataFrame([_round6(micro_metrics_distributed(preds, targets))])
+
+
+def _q_macro_eval(sf_dir: str):
+    """Distributed per-relation (macro) metrics over the perturbed golden
+    predictions (unweighted mean over relations with ≥1 target)."""
+    import pandas as pd
+    import ray.data
+
+    from genie_ray.pipelines.evaluate import macro_metrics_distributed
+
+    paths = _golden()
+    preds = ray.data.read_parquet(paths["preds"])
+    targets = ray.data.read_parquet(paths["samples"])
+    return pd.DataFrame([_round6(macro_metrics_distributed(preds, targets))])
+
+
+def _q_bucket_eval(sf_dir: str):
+    """G6 bucketed metrics (relations bucketed by floor(log2 target
+    occurrence)) over the perturbed golden predictions."""
+    import ray.data
+
+    from genie_ray.pipelines.evaluate import (
+        bucket_metrics,
+        parse_sides,
+        per_relation_counters,
+        relation_occurrence,
+    )
+
+    paths = _golden()
+    preds = ray.data.read_parquet(paths["preds"])
+    targets = ray.data.read_parquet(paths["samples"])
+    per_rel = per_relation_counters(parse_sides(preds, targets))
+    occ = relation_occurrence(ray.data.read_parquet(paths["samples"]))
+    out = bucket_metrics(per_rel, occ)
+    for c in ("precision", "recall", "f1"):
+        out[c] = out[c].round(6)
+    return out
+
+
+# -- zero-shot dataset-prep filters (M5-M8, reference datasets.py:102-253) --
+
+
+def _q_sample_filter_drop(sf_dir: str):
+    """M5 whole-sample drop filter: a sample is dropped if ANY of its
+    triples' relation is in the drop-set."""
+    import ray.data
+
+    from genie_ray.pipelines.samples import filter_samples_drop_relations
+
+    ds = ray.data.read_parquet(_golden()["samples"])
+    return filter_samples_drop_relations(ds, _DROP_RELS)
+
+
+def _q_sample_filter_keep(sf_dir: str):
+    """M6 whole-sample keep filter: dropped if ANY relation is outside the
+    keep-set."""
+    import ray.data
+
+    from genie_ray.pipelines.samples import filter_samples_keep_relations
+
+    ds = ray.data.read_parquet(_golden()["samples"])
+    return filter_samples_keep_relations(ds, _keep_rels())
+
+
+def _q_ignore_relinearize(sf_dir: str):
+    """M7: remove ignored-relation triples, re-linearize the target, drop
+    now-empty samples."""
+    import ray.data
+
+    from genie_ray.pipelines.samples import ignore_relations_relinearize
+
+    ds = ray.data.read_parquet(_golden()["samples"])
+    return ignore_relations_relinearize(ds, _IGNORE_RELS)
+
+
+def _q_rels_not_ignored(sf_dir: str):
+    """M8: ignore-set = observed relations − keep-set (distributed distinct
+    + driver set algebra)."""
+    import pandas as pd
+    import ray.data
+
+    from genie_ray.pipelines.samples import relations_not_to_ignore_complement
+
+    ds = ray.data.read_parquet(_golden()["samples"])
+    ignored = relations_not_to_ignore_complement(ds, _keep_rels())
+    return pd.DataFrame({"rel": sorted(ignored)})
 
 
 # ---------------------------------------------------------------------------
@@ -217,6 +320,20 @@ def _q_simhash(sf_dir: str):
     return ds.map_batches(simhash_batch, batch_format="pyarrow")
 
 
+def _q_simhash_dup_pairs(sf_dir: str):
+    """Distributed banded SimHash pair search over the golden near-dup
+    corpus; the oracle is an all-pairs Hamming join (bit_count ∘ xor) over
+    the single-process golden signatures — the banded search is exact for
+    max_hamming < num_bands, so the two must agree exactly."""
+    import ray.data
+
+    from genie_ray.functions.dedup import simhash_batch, simhash_dup_pairs
+
+    docs = ray.data.read_parquet(_golden()["simdocs"])
+    sigs = docs.map_batches(simhash_batch, batch_format="pyarrow")
+    return simhash_dup_pairs(sigs, max_hamming=8, num_bands=16)
+
+
 def _q_minhash_dup_pairs(sf_dir: str):
     import os
 
@@ -284,15 +401,16 @@ def _q_ivf_topk(sf_dir: str):
 
 def _q_catalog_from_dump(sf_dir: str):
     """Offline-prep chain (SURVEY §3.3): gz JSONL dump → routed parse →
-    distributed title-dedup → entity catalog table. Deterministic fixture
-    dump; rows-only (the dump is not a pre-registered driver table)."""
+    distributed title-dedup → entity catalog table. Oracle: the
+    single-process title-deduped catalog (golden entities.parquet)."""
     import os
 
     from genie_ray.fixtures import make_catalogs
+    from genie_ray.golden import code_fingerprint
     from genie_ray.sources.wikidata import catalogs_from_dump, write_fixture_dump
 
     entities, relations = make_catalogs()
-    dump = "/tmp/genie_ray_fixture_dump.json.gz"
+    dump = f"/tmp/genie_ray_fixture_dump_{code_fingerprint()}.json.gz"
     if not os.path.exists(dump):
         write_fixture_dump(dump, entities, relations)
     got_e, _got_r = catalogs_from_dump(dump)
@@ -351,77 +469,17 @@ def _q_jaccard_pairs(sf_dir: str):
 
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: binary payload column → actor-pool decode
-    (deterministic fake codec) → features + payload sha. Rows-only
-    (byte-statistics features are not SQL-expressible)."""
+    (deterministic fake codec) → features + payload sha. Oracle: the
+    golden media table's precomputed sha256 column (single-process)."""
     import ray.data
 
-    from genie_ray.functions.multimodal import decode_features, synth_media_table
+    from genie_ray.functions.multimodal import decode_features
 
-    ds = ray.data.from_arrow(synth_media_table(n=128, seed=42))
-    out = decode_features(ds, fake_decode=True, concurrency=2, batch_size=16)
+    media = ray.data.read_parquet(
+        _golden()["media"], columns=["media_id", "mime", "payload", "width", "height"]
+    )
+    out = decode_features(media, fake_decode=True, concurrency=2, batch_size=16)
     return out.select_columns(["media_id", "mime", "payload_sha256"])
-
-
-def _q_macro_eval(sf_dir: str):
-    """Distributed per-relation (macro) metrics with predictions == oracle
-    targets: every relation must score P=R=F1=1.0. Rows-only."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    import ray.data
-
-    from genie_ray.core.linearization import linearize_triples
-    from genie_ray.core.oracle import oracle_extract
-    from genie_ray.core.world import World
-    from genie_ray.fixtures import make_catalogs
-    from genie_ray.pipelines.evaluate import macro_metrics_distributed, parse_sides
-
-    entities, relations = make_catalogs()
-    world = World.build(entities, relations)
-    docs = pq.read_table(_kg_docs_path())
-    golden = oracle_extract(docs, world)
-    rows = [
-        {"doc_id": d, "linearization": linearize_triples(sorted(t))}
-        for d, t in sorted(golden.items())
-    ]
-    import pandas as pd
-
-    t = pa.Table.from_pylist(rows)
-    return pd.DataFrame(
-        [macro_metrics_distributed(ray.data.from_arrow(t), ray.data.from_arrow(t))]
-    )
-
-
-def _q_bucket_eval(sf_dir: str):
-    """G6 bucketed metrics (relations bucketed by log2 occurrence) with
-    predictions == targets: every bucket scores 1.0. Rows-only."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    import ray.data
-
-    from genie_ray.core.linearization import linearize_triples
-    from genie_ray.core.oracle import oracle_extract
-    from genie_ray.core.world import World
-    from genie_ray.fixtures import make_catalogs
-    from genie_ray.pipelines.evaluate import (
-        bucket_metrics,
-        parse_sides,
-        per_relation_counters,
-        relation_occurrence,
-    )
-
-    entities, relations = make_catalogs()
-    world = World.build(entities, relations)
-    docs = pq.read_table(_kg_docs_path())
-    golden = oracle_extract(docs, world)
-    rows = [
-        {"doc_id": d, "linearization": linearize_triples(sorted(t))}
-        for d, t in sorted(golden.items())
-    ]
-    t = pa.Table.from_pylist(rows)
-    preds, targets = ray.data.from_arrow(t), ray.data.from_arrow(t)
-    per_rel = per_relation_counters(parse_sides(preds, targets))
-    occ = relation_occurrence(ray.data.from_arrow(t))
-    return bucket_metrics(per_rel, occ)
 
 
 def _q_near_dup_cosine(sf_dir: str):
@@ -467,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "simhash": _q_simhash,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "near_dup_cosine": _q_near_dup_cosine,
@@ -475,7 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
-        # KG construction (deterministic synthetic input; rows-only)
+        # KG construction (golden-artifact-checked)
         "catalog_from_dump": _q_catalog_from_dump,
         "kg_beams": _q_kg_beams,
         "kg_triples": _q_kg_triples,
@@ -483,10 +542,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "micro_eval": _q_micro_eval,
         "macro_eval": _q_macro_eval,
         "bucket_eval": _q_bucket_eval,
+        # zero-shot dataset-prep filters (M5-M8)
+        "sample_filter_drop": _q_sample_filter_drop,
+        "sample_filter_keep": _q_sample_filter_keep,
+        "ignore_relinearize": _q_ignore_relinearize,
+        "rels_not_ignored": _q_rels_not_ignored,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    paths = _golden()  # side effect: artifacts exist before any SQL runs
+    triples = paths["triples"]
+    samples = paths["samples"]
+    preds_triples = paths["preds_triples"]
+
+    micro_sql = (
+        "WITH p AS (SELECT DISTINCT doc_id, subj, pred, obj "
+        f"           FROM read_parquet('{preds_triples}')), "
+        "t AS (SELECT DISTINCT doc_id, subj, pred, obj "
+        f"      FROM read_parquet('{triples}')), "
+        "s AS (SELECT "
+        " (SELECT count(*) FROM (SELECT * FROM p INTERSECT SELECT * FROM t)) AS c, "
+        " (SELECT count(*) FROM p) AS np, (SELECT count(*) FROM t) AS nt) "
+        "SELECT c AS correct, np AS predicted, nt AS target, "
+        "round(CASE WHEN np = 0 THEN 0.0 ELSE c / CAST(np AS DOUBLE) END, 6) "
+        '  AS "precision", '
+        "round(CASE WHEN nt = 0 THEN 0.0 ELSE c / CAST(nt AS DOUBLE) END, 6) "
+        "  AS recall, "
+        "round(CASE WHEN np = 0 OR nt = 0 OR c = 0 THEN 0.0 ELSE "
+        "  2 * (c / CAST(np AS DOUBLE)) * (c / CAST(nt AS DOUBLE)) / "
+        "  ((c / CAST(np AS DOUBLE)) + (c / CAST(nt AS DOUBLE))) END, 6) AS f1 "
+        "FROM s"
+    )
+
+    _per_rel_cte = (
+        "WITH p AS (SELECT DISTINCT doc_id, subj, pred, obj "
+        f"           FROM read_parquet('{preds_triples}')), "
+        "t AS (SELECT DISTINCT doc_id, subj, pred, obj "
+        f"      FROM read_parquet('{triples}')), "
+        "np AS (SELECT pred, count(*) AS predicted FROM p GROUP BY pred), "
+        "nt AS (SELECT pred, count(*) AS target FROM t GROUP BY pred), "
+        "c AS (SELECT pred, count(*) AS correct FROM "
+        "      (SELECT * FROM p INTERSECT SELECT * FROM t) GROUP BY pred), "
+        "rel AS (SELECT nt.pred, coalesce(np.predicted, 0) AS predicted, "
+        "        nt.target AS target, coalesce(c.correct, 0) AS correct "
+        "        FROM nt LEFT JOIN np ON nt.pred = np.pred "
+        "        LEFT JOIN c ON nt.pred = c.pred) "
+    )
+
+    macro_sql = (
+        _per_rel_cte
+        + ", scored AS (SELECT "
+        "  CASE WHEN predicted = 0 THEN 0.0 "
+        "       ELSE correct / CAST(predicted AS DOUBLE) END AS p_, "
+        "  CASE WHEN target = 0 THEN 0.0 "
+        "       ELSE correct / CAST(target AS DOUBLE) END AS r_, "
+        "  CASE WHEN predicted = 0 OR target = 0 OR correct = 0 THEN 0.0 "
+        "       ELSE 2 * (correct / CAST(predicted AS DOUBLE)) * "
+        "            (correct / CAST(target AS DOUBLE)) / "
+        "            ((correct / CAST(predicted AS DOUBLE)) + "
+        "             (correct / CAST(target AS DOUBLE))) END AS f_ "
+        "  FROM rel) "
+        'SELECT round(avg(p_), 6) AS "precision", round(avg(r_), 6) AS recall, '
+        "round(avg(f_), 6) AS f1, count(*) AS num_relations FROM scored"
+    )
+
+    bucket_sql = (
+        _per_rel_cte
+        + ", g AS (SELECT CAST(floor(log2(target)) AS INT) AS bucket, "
+        "  sum(correct) AS correct, sum(predicted) AS predicted, "
+        "  sum(target) AS target FROM rel GROUP BY 1) "
+        "SELECT bucket, CAST(pow(2, bucket) AS BIGINT) AS min_occurrence, "
+        "CAST(correct AS BIGINT) AS correct, "
+        "CAST(predicted AS BIGINT) AS predicted, CAST(target AS BIGINT) AS target, "
+        "round(CASE WHEN predicted = 0 THEN 0.0 "
+        '  ELSE correct / CAST(predicted AS DOUBLE) END, 6) AS "precision", '
+        "round(CASE WHEN target = 0 THEN 0.0 "
+        "  ELSE correct / CAST(target AS DOUBLE) END, 6) AS recall, "
+        "round(CASE WHEN predicted = 0 OR target = 0 OR correct = 0 THEN 0.0 "
+        "  ELSE 2 * (correct / CAST(predicted AS DOUBLE)) * "
+        "       (correct / CAST(target AS DOUBLE)) / "
+        "       ((correct / CAST(predicted AS DOUBLE)) + "
+        "        (correct / CAST(target AS DOUBLE))) END, 6) AS f1 "
+        "FROM g"
+    )
+
     return {
         "filter_keep": (
             "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity "
@@ -632,6 +772,56 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
             "                             b.embedding::DOUBLE[]) >= 0.25"
         ),
-        # lang_id / simhash / minhash_dup_pairs / ivf_topk / kg_* /
-        # micro_eval: deterministic but not SQL-expressible → rows-only
+        # -- golden-artifact oracles (single-process reference outputs) ----
+        "kg_triples": (
+            "SELECT doc_id, subj, pred, obj, subj_id, pred_id, obj_id, "
+            f"matched, match_status FROM read_parquet('{triples}')"
+        ),
+        "kg_graph": (
+            "SELECT subj_id, pred_id, obj_id, count(*) AS support "
+            f"FROM read_parquet('{triples}') WHERE matched "
+            "GROUP BY subj_id, pred_id, obj_id"
+        ),
+        "micro_eval": micro_sql,
+        "macro_eval": macro_sql,
+        "bucket_eval": bucket_sql,
+        "catalog_from_dump": (
+            "SELECT ent_id, surface, provenance "
+            f"FROM read_parquet('{paths['entities']}')"
+        ),
+        "media_features": (
+            "SELECT media_id, mime, payload_sha256 "
+            f"FROM read_parquet('{paths['media']}')"
+        ),
+        "simhash_dup_pairs": (
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+            f"FROM read_parquet('{paths['simsigs']}') a "
+            f"JOIN read_parquet('{paths['simsigs']}') b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"
+        ),
+        "sample_filter_drop": (
+            f"SELECT s.doc_id, s.linearization FROM read_parquet('{samples}') s "
+            f"WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{triples}') t "
+            f"  WHERE t.doc_id = s.doc_id AND t.pred IN {_sql_set(_DROP_RELS)})"
+        ),
+        "sample_filter_keep": (
+            f"SELECT s.doc_id, s.linearization FROM read_parquet('{samples}') s "
+            f"WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{triples}') t "
+            "  WHERE t.doc_id = s.doc_id "
+            f"  AND t.pred NOT IN {_sql_set(_keep_rels())})"
+        ),
+        "ignore_relinearize": (
+            "SELECT doc_id, string_agg("
+            "' <sub> ' || subj || ' <rel> ' || pred || ' <obj> ' || obj || ' <et>', "
+            "'' ORDER BY subj, pred, obj) AS linearization "
+            f"FROM read_parquet('{triples}') "
+            f"WHERE pred NOT IN {_sql_set(_IGNORE_RELS)} GROUP BY doc_id"
+        ),
+        "rels_not_ignored": (
+            f"SELECT DISTINCT pred AS rel FROM read_parquet('{triples}') "
+            f"WHERE pred NOT IN {_sql_set(_keep_rels())}"
+        ),
+        # lang_id / simhash / minhash_dup_pairs / ivf_topk / kg_beams:
+        # approximate or not SQL-expressible → rows-only
     }

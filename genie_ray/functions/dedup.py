@@ -120,8 +120,13 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 def _minhash_sig(shingle_hashes: np.ndarray, num_perm: int, seed: int) -> np.ndarray:
-    """Deterministic minhash via num_perm independent universal hashes over
-    the 64-bit shingle hashes."""
+    """Deterministic minhash: ``num_perm`` independent affine hashes
+    ``((a·x + b) mod 2^64) mod M`` (odd ``a``, M = 2^61−1) over the 64-bit
+    shingle hashes. NOTE: the multiply wraps mod 2^64 BEFORE the mod-M
+    reduction, so this is a multiply-shift-style mixing family, not the
+    textbook (a·x+b) mod M universal family — weaker theoretical collision
+    bounds, identical determinism, and empirically uniform on md5-derived
+    inputs (the shingle hashes are already well-mixed)."""
     if shingle_hashes.size == 0:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     rng = np.random.default_rng(seed)
@@ -162,11 +167,19 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_bands: int = 16,
     rows_per_band: int = 4,
+    bucket_cap: int = 200,
 ) -> ray.data.Dataset:
     """Band the signatures (b bands × r rows), hash each band → explode to
     (band_id, band_hash, doc_id) rows → groupby band bucket → emit
     candidate pairs (a < b). Pairs can repeat across bands; downstream
-    verification dedups."""
+    verification dedups.
+
+    Hot buckets (boilerplate-heavy corpora) are capped at ``bucket_cap``
+    docs to bound the quadratic within-bucket cost; truncation is NOT
+    silent — every emitted pair row carries ``bucket_truncated`` (number
+    of docs dropped from its bucket, 0 normally) and each truncation is
+    logged, so recall loss is observable downstream."""
+    import logging
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -191,10 +204,16 @@ def minhash_lsh_candidates(
         ids = sorted(g[id_col].to_pylist())
         a_, b_ = [], []
         # bucket sizes are tiny for sane band widths; quadratic within
-        # bucket is the standard LSH cost model. Hot buckets are capped to
-        # bound worst-case skew (documented truncation).
-        cap = 200
-        ids = ids[:cap]
+        # bucket is the standard LSH cost model
+        truncated = max(0, len(ids) - bucket_cap)
+        if truncated:
+            logging.getLogger(__name__).warning(
+                "LSH bucket (%s, %s) holds %d docs; capped at %d — %d docs "
+                "dropped from candidate generation",
+                g["band"][0].as_py(), g["band_hash"][0].as_py(),
+                len(ids), bucket_cap, truncated,
+            )
+        ids = ids[:bucket_cap]
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a_.append(ids[i])
@@ -203,6 +222,7 @@ def minhash_lsh_candidates(
             {
                 "id_a": pa.array(a_, g[id_col].type),
                 "id_b": pa.array(b_, g[id_col].type),
+                "bucket_truncated": pa.array([truncated] * len(a_), pa.int64()),
             }
         )
 
@@ -212,6 +232,9 @@ def minhash_lsh_candidates(
     )
 
 
+_PAIR_SEP = "\x1f"
+
+
 def verify_jaccard_pairs(
     candidates: ray.data.Dataset,
     docs: ray.data.Dataset,
@@ -219,48 +242,138 @@ def verify_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.8,
-) -> "pa.Table":
-    """Exact n-gram Jaccard over the (small) candidate set: broadcast the
-    candidate doc texts (only docs appearing in candidates) and verify on
-    the driver-side batch — candidates after LSH are a vanishing fraction
-    of the corpus. Returns pairs with jaccard ≥ threshold."""
+) -> ray.data.Dataset:
+    """Distributed exact-Jaccard verification of LSH candidate pairs.
+
+    Nothing corpus-sized touches the driver: only the candidate-ID SET is
+    collected and broadcast (used to prune the docs scan — candidate ids
+    are a vanishing fraction of the corpus by LSH design). The pair table
+    and the shingle sets stay distributed:
+
+        candidates → distinct pairs (groupby)        # dedup across bands
+        docs ⋉ candidate-ids → per-doc shingle-hash arrays
+        pairs exploded to (doc_id, pair) rows
+        ∪ shingle rows → groupby(doc_id)             # attach each side's set
+        → groupby(pair) → exact Jaccard ≥ threshold
+
+    Shingle sets are 64-bit hashes (`_shingle_hashes`), so the volume per
+    candidate doc is ~8 bytes/shingle regardless of text size. Returns a
+    Dataset of (id_a, id_b, jaccard)."""
     import ray
 
-    cand = candidates.to_pandas().drop_duplicates()
-    need = set(cand["id_a"]) | set(cand["id_b"])
-    if not need:
+    sch = docs.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
+    pairs = (
+        candidates.groupby(["id_a", "id_b"])
+        .count()
+        .map_batches(
+            lambda t: t.select(["id_a", "id_b"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    def explode_ids(t: pa.Table) -> pa.Table:
         return pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
+            {id_col: pa.array(t["id_a"].to_pylist() + t["id_b"].to_pylist(), id_type)}
+        )
+
+    need = set(pairs.map_batches(explode_ids, batch_format="pyarrow").unique(id_col))
+    if not need:
+        return ray.data.from_arrow(
+            pa.table(
+                {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+                 "jaccard": pa.array([], pa.float64())}
+            )
         )
     need_ref = ray.put(need)
 
-    def project(batch: pa.Table) -> pa.Table:
+    def shingle_rows(batch: pa.Table) -> pa.Table:
         needed = ray.get(need_ref)
         ids = batch[id_col].to_pylist()
-        mask = [i in needed for i in ids]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        texts = batch[text_col].to_pylist()
+        o_id, o_h = [], []
+        for i, t in zip(ids, texts):
+            if i in needed:
+                o_id.append(i)
+                o_h.append(
+                    _shingle_hashes(t, shingle_k).astype(np.int64).tolist()
+                )
+        return pa.table(
+            {
+                id_col: pa.array(o_id, id_type),
+                "pair_key": pa.array([None] * len(o_id), pa.string()),
+                "id_a": pa.array([None] * len(o_id), id_type),
+                "id_b": pa.array([None] * len(o_id), id_type),
+                "hashes": pa.array(o_h, pa.list_(pa.int64())),
+            }
+        )
 
-    texts = docs.map_batches(project, batch_format="pyarrow").to_pandas()
-    text_of = dict(zip(texts[id_col], texts[text_col]))
-    sh = {i: _shingles(t, shingle_k) for i, t in text_of.items()}
-    o_a, o_b, o_j = [], [], []
-    for a, b in zip(cand["id_a"], cand["id_b"]):
-        sa, sb = sh.get(a, set()), sh.get(b, set())
-        if not sa and not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb) if (sa | sb) else 0.0
-        if j >= threshold:
-            o_a.append(a)
-            o_b.append(b)
-            o_j.append(j)
-    return pa.table(
-        {
-            "id_a": pa.array(o_a),
-            "id_b": pa.array(o_b),
-            "jaccard": pa.array(o_j, pa.float64()),
-        }
+    def pair_rows(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_pylist()
+        b = t["id_b"].to_pylist()
+        keys = [f"{x}{_PAIR_SEP}{y}" for x, y in zip(a, b)]
+        return pa.table(
+            {
+                id_col: pa.array(a + b, id_type),
+                "pair_key": pa.array(keys + keys, pa.string()),
+                "id_a": pa.array(a + a, id_type),
+                "id_b": pa.array(b + b, id_type),
+                "hashes": pa.array([None] * (2 * len(a)), pa.list_(pa.int64())),
+            }
+        )
+
+    tagged = docs.map_batches(shingle_rows, batch_format="pyarrow").union(
+        pairs.map_batches(pair_rows, batch_format="pyarrow")
     )
+
+    def attach(g: pa.Table) -> pa.Table:
+        """One doc's group: its shingle row + every pair row touching it —
+        emit (pair_key, id_a, id_b, hashes) rows carrying the doc's set."""
+        hashes = None
+        for pk, h in zip(g["pair_key"].to_pylist(), g["hashes"].to_pylist()):
+            if pk is None:
+                hashes = h
+        o_pk, o_a, o_b = [], [], []
+        for pk, a, b in zip(
+            g["pair_key"].to_pylist(), g["id_a"].to_pylist(), g["id_b"].to_pylist()
+        ):
+            if pk is not None:
+                o_pk.append(pk)
+                o_a.append(a)
+                o_b.append(b)
+        return pa.table(
+            {
+                "pair_key": pa.array(o_pk, pa.string()),
+                "id_a": pa.array(o_a, id_type),
+                "id_b": pa.array(o_b, id_type),
+                "hashes": pa.array([hashes or []] * len(o_pk), pa.list_(pa.int64())),
+            }
+        )
+
+    sides = tagged.groupby(id_col).map_groups(attach, batch_format="pyarrow")
+
+    def judge(g: pa.Table) -> pa.Table:
+        hs = g["hashes"].to_pylist()
+        sa = set(hs[0] or [])
+        sb = set(hs[1] or []) if len(hs) > 1 else set()
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 0.0
+        if j < threshold:
+            return pa.table(
+                {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array([g["id_a"][0].as_py()], id_type),
+                "id_b": pa.array([g["id_b"][0].as_py()], id_type),
+                "jaccard": pa.array([j], pa.float64()),
+            }
+        )
+
+    return sides.groupby("pair_key").map_groups(judge, batch_format="pyarrow")
 
 
 # -- simhash -----------------------------------------------------------------
@@ -299,6 +412,116 @@ def simhash_batch(
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# byte-wise popcount table (numpy < 2.0 has no bitwise_count)
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(arr: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    return _POPCOUNT8[arr.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+
+
+def simhash_dup_pairs(
+    sigs: ray.data.Dataset,
+    max_hamming: int = 8,
+    num_bands: int = 16,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bucket_cap: int = 2000,
+) -> ray.data.Dataset:
+    """Distributed SimHash near-dup pair search: banded bit-chunk bucket
+    join. The 64-bit signature splits into ``num_bands`` contiguous chunks;
+    docs sharing any chunk value land in one bucket (groupby), and pairs
+    are verified with an exact vectorized Hamming distance inside the
+    bucket.
+
+    EXACT for ``max_hamming < num_bands``: a pair differing in ≤
+    ``num_bands - 1`` bits must leave at least one chunk untouched
+    (pigeonhole), so it shares a bucket. Signatures are stored as signed
+    int64 (bit pattern = unsigned sig XOR the top bit); XOR-based Hamming
+    is invariant to that constant flip, and chunk bucketing is only
+    relabeled by it, so both work on the stored form directly.
+
+    Hot buckets (a chunk value shared by huge cohorts — e.g. all-zero
+    chunks of near-empty docs) are capped with a logged, per-row-reported
+    truncation count, same policy as the MinHash LSH stage."""
+    import logging
+
+    assert max_hamming < num_bands, (
+        f"banded search is only exact for max_hamming < num_bands "
+        f"(got {max_hamming} >= {num_bands})"
+    )
+    assert 64 % num_bands == 0, "num_bands must divide 64"
+    chunk_bits = 64 // num_bands
+    chunk_mask = np.uint64((1 << chunk_bits) - 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        raw = np.asarray(batch[sig_col].to_pylist(), dtype=np.int64).view(np.uint64)
+        o_chunk, o_val, o_id, o_sig = [], [], [], []
+        for c in range(num_bands):
+            vals = (raw >> np.uint64(c * chunk_bits)) & chunk_mask
+            o_chunk.extend([c] * len(ids))
+            o_val.extend(vals.astype(np.int64).tolist())
+            o_id.extend(ids)
+            o_sig.extend(batch[sig_col].to_pylist())
+        return pa.table(
+            {
+                "chunk": pa.array(o_chunk, pa.int32()),
+                "chunk_val": pa.array(o_val, pa.int64()),
+                id_col: pa.array(o_id, batch[id_col].type),
+                sig_col: pa.array(o_sig, pa.int64()),
+            }
+        )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(g[id_col].to_pylist(), dtype=object))
+        ids = np.asarray(g[id_col].to_pylist(), dtype=object)[order]
+        sig = np.asarray(g[sig_col].to_pylist(), dtype=np.int64).view(np.uint64)[order]
+        truncated = max(0, len(ids) - bucket_cap)
+        if truncated:
+            logging.getLogger(__name__).warning(
+                "SimHash bucket (chunk=%s val=%s) holds %d docs; capped at "
+                "%d — %d docs dropped",
+                g["chunk"][0].as_py(), g["chunk_val"][0].as_py(),
+                len(ids), bucket_cap, truncated,
+            )
+            ids, sig = ids[:bucket_cap], sig[:bucket_cap]
+        n = len(ids)
+        if n < 2:
+            return pa.table(
+                {"id_a": pa.array([], g[id_col].type),
+                 "id_b": pa.array([], g[id_col].type),
+                 "hamming": pa.array([], pa.int64()),
+                 "bucket_truncated": pa.array([], pa.int64())}
+            )
+        iu, ju = np.triu_indices(n, k=1)
+        ham = _popcount64(sig[iu] ^ sig[ju])
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "id_a": pa.array(ids[iu[keep]].tolist(), g[id_col].type),
+                "id_b": pa.array(ids[ju[keep]].tolist(), g[id_col].type),
+                "hamming": pa.array(ham[keep].tolist(), pa.int64()),
+                "bucket_truncated": pa.array(
+                    [truncated] * int(keep.sum()), pa.int64()
+                ),
+            }
+        )
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    raw_pairs = exploded.groupby(["chunk", "chunk_val"]).map_groups(
+        pairs, batch_format="pyarrow"
+    )
+    # a close pair shares many chunks → dedup across buckets (hamming is a
+    # pure function of the pair, so min == the value)
+    out = raw_pairs.groupby(["id_a", "id_b"]).min("hamming")
+    return out.map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b", "hamming"]),
+        batch_format="pyarrow",
+    )
 
 
 # -- embedding cosine near-dup ----------------------------------------------
@@ -346,6 +569,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    audit_limit: int = 50_000,
 ) -> ray.data.Dataset:
     """EXACT token-set Jaccard near-dup pairs (id_a < id_b, jaccard ≥
     threshold). One side of the comparison is broadcast once via
@@ -358,6 +582,16 @@ def ngram_jaccard_pairs(
     import pandas as pd
 
     side = ds.to_pandas()  # small side by contract (sample/audit scale)
+    # HARD audit-scale gate: this operator broadcasts every token set and
+    # compares all pairs — O(n²). At corpus scale use the LSH path
+    # (minhash_lsh_candidates → verify_jaccard_pairs) instead; this guard
+    # turns a silent 100-TB footgun into an immediate, explicit error.
+    if len(side) > audit_limit:
+        raise ValueError(
+            f"ngram_jaccard_pairs is an exact all-pairs AUDIT operator "
+            f"(corpus of {len(side)} rows > audit_limit={audit_limit}); "
+            "use minhash_lsh_candidates + verify_jaccard_pairs at scale"
+        )
     sets = {
         did: frozenset((t or "").split())
         for did, t in zip(side[id_col], side[text_col])

@@ -16,6 +16,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -65,6 +66,20 @@ class BruteForceTopK:
         )
 
 
+def _merge_topk(t: pa.Table, k: int, id_col: str) -> pa.Table:
+    """Global merge of per-block top-k partials: sort by (query, -cosine,
+    id), keep k per query, rank 1..k — one vectorized pass."""
+    t = t.sort_by(
+        [("query_id", "ascending"), ("cosine", "descending"), (id_col, "ascending")]
+    )
+    q = t["query_id"].to_numpy()
+    # rank within query = position since the query's first row
+    starts = np.r_[0, np.flatnonzero(q[1:] != q[:-1]) + 1]
+    rank = np.arange(len(q)) - np.repeat(starts, np.diff(np.r_[starts, len(q)])) + 1
+    t = t.append_column("rank", pa.array(rank, pa.int64()))
+    return t.filter(pc.less_equal(t["rank"], k))
+
+
 def brute_force_topk(
     ds: ray.data.Dataset,
     query_ids: np.ndarray,
@@ -85,14 +100,15 @@ def brute_force_topk(
         concurrency=concurrency,
     )
 
-    # final merge: tiny (num_batches × q × k rows) — groupby query, take k
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    out = partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    # final merge: tiny (num_batches × q × k rows), so a groupby SHUFFLE is
+    # overkill — one repartition(1) + a single Arrow-native merge task (the
+    # standard two-level top-k: per-block local top-k above, one global
+    # merge here). Also removes the sort shuffle's empty-partition blocks
+    # (they carried a blank schema and tripped executor warnings).
+    out = partials.repartition(1).map_batches(
+        _merge_topk, fn_kwargs={"k": k, "id_col": id_col},
+        batch_format="pyarrow", batch_size=None,
+    )
     return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
@@ -171,9 +187,11 @@ def ivf_topk(
     """Approximate top-k: centroids from a deterministic sample, each query
     probes its ``nprobe`` nearest centroid partitions. Recall < 1.0 by
     design; tested against the brute-force baseline."""
-    sample = pd.DataFrame(
-        ds.random_sample(min(1.0, sample_size / max(1, ds.count())), seed=seed).take_all()
-    )
+    # bounded deterministic sample WITHOUT a full count() pre-pass:
+    # limit(n) reads only the blocks it needs and the centroid quality is
+    # insensitive to which bounded subset seeds it (k-means over a corpus
+    # slice; the seed fixes the rest)
+    sample = pd.DataFrame(ds.limit(sample_size).take_all())
     cents = kmeans_centroids(np.stack(sample[vec_col].to_numpy()), num_centroids, seed=seed)
     qmat = _unit(np.asarray(query_mat, dtype=np.float64))
     probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
@@ -186,11 +204,8 @@ def ivf_topk(
         concurrency=concurrency,
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    out = partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    out = partials.repartition(1).map_batches(
+        _merge_topk, fn_kwargs={"k": k, "id_col": id_col},
+        batch_format="pyarrow", batch_size=None,
+    )
     return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -1,0 +1,263 @@
+"""Golden oracle artifacts: single-process reference outputs as Parquet.
+
+The driver's correctness gate compares each Ray query against a DuckDB
+oracle. For the KG-domain queries the oracle semantics live in Python
+(the single-process reference loop, `genie_ray.core.oracle`), not in SQL —
+so this module materializes the oracle's outputs ONCE as Parquet files
+under a content-addressed /tmp directory, and the ``oracle_sql`` entries
+become plain DuckDB ``read_parquet`` scans (plus the metric arithmetic,
+which IS SQL-expressible). That converts the KG queries from rows-only to
+full hash-checked comparisons.
+
+Artifacts (all deterministic functions of (seed, n_docs) and the fixture /
+oracle source code):
+
+* ``docs.parquet``       — the synthetic documents table (input_hint shape)
+* ``triples.parquet``    — golden per-doc triples with canonical IDs +
+                           match status (the reference extraction loop,
+                           `genie_base_pl.py:194-273`, run single-process)
+* ``samples.parquet``    — (doc_id, linearization) targets: the KILT-style
+                           sample table the relation-set filters operate on
+* ``preds.parquet`` / ``preds_triples.parquet`` — deterministically
+                           perturbed predictions (some triples dropped,
+                           some bogus ones added) so micro/macro/bucket
+                           metrics are non-trivial values both sides compute
+* ``media.parquet``      — media payload table + precomputed sha256 (DuckDB
+                           lacks blob hashing; the hash is part of the
+                           golden artifact, computed single-process)
+* ``simdocs.parquet`` / ``simsigs.parquet`` — text corpus with planted
+                           near-duplicates + single-process SimHash
+                           signatures (oracle for the banded pair search)
+* ``entities.parquet``   — title-deduped entity catalog (oracle for the
+                           distributed dump → catalog chain)
+
+The directory name embeds an md5 of the source files the artifacts depend
+on, so editing fixture/oracle code invalidates the cache automatically
+(never silently feeds stale goldens to the correctness queries).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, List, Set, Tuple
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+Triple = Tuple[str, str, str]
+
+_FINGERPRINT_SOURCES = (
+    "fixtures.py",
+    "golden.py",
+    os.path.join("core", "oracle.py"),
+    os.path.join("core", "linearization.py"),
+    os.path.join("core", "catalog.py"),
+    os.path.join("core", "extractor.py"),
+    os.path.join("functions", "dedup.py"),
+    os.path.join("functions", "multimodal.py"),
+)
+
+ARTIFACTS = (
+    "docs.parquet",
+    "triples.parquet",
+    "samples.parquet",
+    "preds.parquet",
+    "preds_triples.parquet",
+    "media.parquet",
+    "simdocs.parquet",
+    "simsigs.parquet",
+    "entities.parquet",
+)
+
+
+def _code_fingerprint() -> str:
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.md5()
+    for rel in _FINGERPRINT_SOURCES:
+        with open(os.path.join(root, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+def code_fingerprint() -> str:
+    """Public alias: cache keys derived from the oracle/fixture sources."""
+    return _code_fingerprint()
+
+
+def golden_dir(n_docs: int = 300, seed: int = 42) -> str:
+    return f"/tmp/genie_ray_golden_{_code_fingerprint()}_{seed}_{n_docs}"
+
+
+def _triples_with_status(by_doc: Dict[str, Set[Triple]], world) -> pa.Table:
+    """Flattened golden triples with the SAME columns/semantics the
+    distributed pipeline writes (`stages/canonicalize.py`), computed by the
+    single-process path."""
+    from .stages.canonicalize import CanonicalizeTriples
+
+    doc_ids, subj, pred, obj = [], [], [], []
+    for did in sorted(by_doc):
+        for t in sorted(by_doc[did]):
+            doc_ids.append(did)
+            subj.append(t[0])
+            pred.append(t[1])
+            obj.append(t[2])
+    raw = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(pred, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+        }
+    )
+    return CanonicalizeTriples(world)(raw)
+
+
+def _perturb(
+    by_doc: Dict[str, Set[Triple]]
+) -> Dict[str, Set[Triple]]:
+    """Deterministic prediction perturbation: drop the last (sorted) triple
+    of every 7th doc, add one bogus out-of-catalog triple to every 11th —
+    micro/macro metrics become non-trivial ratios instead of all-1.0."""
+    out: Dict[str, Set[Triple]] = {}
+    for i, did in enumerate(sorted(by_doc)):
+        triples = set(by_doc[did])
+        if triples and i % 7 == 3:
+            triples.discard(sorted(triples)[-1])
+        if i % 11 == 5:
+            triples.add(("Fake Widget", "imports", "Phantom Gadget"))
+        out[did] = triples
+    return out
+
+
+def _samples_table(by_doc: Dict[str, Set[Triple]]) -> pa.Table:
+    from .core.linearization import linearize_triples
+
+    rows_id, rows_lin = [], []
+    for did in sorted(by_doc):
+        rows_id.append(did)
+        rows_lin.append(linearize_triples(sorted(by_doc[did])))
+    return pa.table(
+        {
+            "doc_id": pa.array(rows_id, pa.string()),
+            "linearization": pa.array(rows_lin, pa.string()),
+        }
+    )
+
+
+def _exploded_table(by_doc: Dict[str, Set[Triple]]) -> pa.Table:
+    doc_ids, subj, pred, obj = [], [], [], []
+    for did in sorted(by_doc):
+        for s, r, o in sorted(by_doc[did]):
+            doc_ids.append(did)
+            subj.append(s)
+            pred.append(r)
+            obj.append(o)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(pred, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+        }
+    )
+
+
+def _simdocs_table(docs: pa.Table, seed: int) -> pa.Table:
+    """(doc_id, text) corpus with planted near-duplicates: every 10th
+    document gets a copy with one appended token — hamming-close SimHash
+    by construction."""
+    from .core.oracle import doc_id_of
+
+    ids, texts = [], []
+    for i, content in enumerate(docs["content"].to_pylist()):
+        ids.append(doc_id_of(content))
+        texts.append(content)
+        if i % 10 == 0:
+            near = content + " zzextra"
+            ids.append(doc_id_of(near))
+            texts.append(near)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "text": pa.array(texts, pa.large_string()),
+        }
+    )
+
+
+def ensure_golden(n_docs: int = 300, seed: int = 42) -> Dict[str, str]:
+    """Idempotently materialize every golden artifact; returns name→path.
+    Pure single-process (no Ray): this is the oracle side of the
+    correctness gate, independent of the distributed engine."""
+    import hashlib as _hl
+
+    from .core.oracle import oracle_extract
+    from .core.world import World
+    from .fixtures import make_catalogs, make_documents
+    from .functions.dedup import simhash_batch
+    from .functions.multimodal import synth_media_table
+
+    base = golden_dir(n_docs, seed)
+    paths = {name.split(".")[0]: os.path.join(base, name) for name in ARTIFACTS}
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+
+    tmp = base + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    entities, relations = make_catalogs()
+    world = World.build(entities, relations)
+    docs = make_documents(n_docs=n_docs, seed=seed)
+    by_doc = oracle_extract(docs, world)
+    preds = _perturb(by_doc)
+
+    def w(name: str, table: pa.Table) -> None:
+        pq.write_table(table, os.path.join(tmp, f"{name}.parquet"), row_group_size=256)
+
+    w("docs", docs)
+    w("triples", _triples_with_status(by_doc, world))
+    w("samples", _samples_table(by_doc))
+    w("preds", _samples_table(preds))
+    w("preds_triples", _exploded_table(preds))
+
+    media = synth_media_table(n=128, seed=seed)
+    shas = pa.array(
+        [_hl.sha256(p).hexdigest() for p in media["payload"].to_pylist()],
+        pa.string(),
+    )
+    w("media", media.append_column("payload_sha256", shas))
+
+    simdocs = _simdocs_table(docs, seed)
+    w("simdocs", simdocs)
+    w("simsigs", simhash_batch(simdocs))
+
+    # catalog_from_dump oracle: the dump chain's surface IS the enwiki
+    # title, so its provenance is en_title for every surviving entity
+    # (`sources/wikidata.py` EN_TITLE routing); survivors = title-deduped ids
+    ents = world.entities
+    w(
+        "entities",
+        pa.table(
+            {
+                "ent_id": pa.array(list(ents.id2surface), pa.string()),
+                "surface": pa.array(
+                    [s for s, _p in ents.id2surface.values()], pa.string()
+                ),
+                "provenance": pa.array(
+                    ["en_title"] * len(ents.id2surface), pa.string()
+                ),
+            }
+        ),
+    )
+
+    # atomic publish: a crashed writer never leaves a half directory
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        # lost a race with a concurrent writer — theirs is equivalent
+        shutil.rmtree(tmp, ignore_errors=True)
+    return paths

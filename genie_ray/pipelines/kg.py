@@ -84,7 +84,20 @@ def extract_to_triples(
     manifest per doc-hash partition. Returns the small per-partition
     summary Dataset."""
     cfg = cfg or KGConfig()
-    done = lineage.finished_partitions(triples_dir) if cfg.resume else set()
+    # resume gate: a manifest only counts as finished if it was written by
+    # an equivalent run — same partition count AND same input (fingerprint
+    # of the file listing). A changed --num-partitions or an appended input
+    # otherwise silently drops documents hashing into "finished" parts.
+    input_fp = lineage.input_fingerprint(input_path)
+    run_meta = {
+        "num_partitions": cfg.num_partitions,
+        "input_fingerprint": input_fp,
+    }
+    done = (
+        lineage.validated_finished_partitions(triples_dir, run_meta)
+        if cfg.resume
+        else set()
+    )
 
     # enough read tasks to feed the extract pool (capped by the file's
     # row-group count; harmless when the input already has many files)
@@ -169,6 +182,7 @@ def extract_to_triples(
                         group["doc_id"].to_pylist()
                     ),
                     "input_path": os.path.abspath(input_path),
+                    **run_meta,
                 },
             )
             o_part.append(int(part))
@@ -199,7 +213,21 @@ def build_graph(
     """Stage B (resumable): triples Parquet → deduped graph, one sorted
     Parquet + manifest per triple-hash bucket."""
     cfg = cfg or KGConfig()
-    done = lineage.finished_partitions(graph_dir, prefix="bucket") if cfg.resume else set()
+    # graph buckets derive from the triples dir, which legitimately GROWS
+    # when a crashed extraction stage resumes — stale buckets (written
+    # against fewer triples, or a different bucket count) are auto-
+    # invalidated (deleted + recomputed) rather than silently kept
+    bucket_meta = {
+        "num_buckets": cfg.num_buckets,
+        "input_fingerprint": lineage.input_fingerprint(triples_dir),
+    }
+    done = (
+        lineage.validated_finished_partitions(
+            graph_dir, bucket_meta, prefix="bucket", on_mismatch="invalidate"
+        )
+        if cfg.resume
+        else set()
+    )
 
     ds = ray.data.read_parquet(
         triples_dir,
@@ -232,7 +260,8 @@ def build_graph(
             group = batch.filter(pc.equal(batch["bucket"], bucket))
             merged = merge_triple_partials(group, max_doc_ids=max_doc_ids)
             manifest = lineage.write_partition(
-                merged, graph_dir, int(bucket), prefix="bucket", doc_id_col="__none__"
+                merged, graph_dir, int(bucket), prefix="bucket",
+                doc_id_col="__none__", extra_meta=bucket_meta,
             )
             o_bucket.append(int(bucket))
             o_rows.append(manifest["num_rows"])

@@ -25,6 +25,18 @@ def _read(sf_dir: str, table: str, columns: List[str] | None = None) -> ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+# per-worker-process cache for broadcast dimension tables (lets map stages
+# run as stateless tasks on any free CPU instead of reserved actor pools)
+_DIM_CACHE: dict = {}
+
+
+def _to_arrow(ds: ray.data.Dataset) -> pa.Table:
+    """Materialize a SMALL (dimension-sized) dataset as one Arrow table."""
+    import ray as _ray
+
+    return pa.concat_tables(_ray.get(ds.to_arrow_refs())).combine_chunks()
+
+
 # -- filters (M4 / M5 / M6: value-set keep/drop semantics) -------------------
 
 
@@ -111,36 +123,28 @@ def group_agg(sf_dir: str) -> pd.DataFrame:
 
 def join_enrich(sf_dir: str) -> ray.data.Dataset:
     """orders ⋈ customer on custkey — broadcast the small dimension side
-    via ray.put, dict-map per batch (reference id-keyed join semantics,
-    `evaluation.py:96-126`; broadcast strategy per SURVEY.md §2.4 J1)."""
-    cust = (
+    via ray.put as ARROW ARRAYS, probed per batch with vectorized
+    ``pc.index_in`` + ``pc.take`` (no per-row Python; reference id-keyed
+    join semantics, `evaluation.py:96-126`; broadcast strategy per
+    SURVEY.md §2.4 J1)."""
+    cust = _to_arrow(
         _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
-        .to_pandas()
     )
     lookup_ref = ray.put(
-        {
-            k: (n, m)
-            for k, n, m in zip(cust["c_custkey"], cust["c_name"], cust["c_mktsegment"])
-        }
+        (cust["c_custkey"], cust["c_name"], cust["c_mktsegment"])
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     class Join:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            self.keys, self.names, self.segments = ray.get(lookup_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["o_custkey"].to_pylist()
-            hits = [self.lookup.get(k) for k in keys]
-            mask = pa.array([h is not None for h in hits], pa.bool_())
-            out = t.append_column(
-                "c_name", pa.array([h[0] if h else None for h in hits], pa.string())
-            )
-            out = out.append_column(
-                "c_mktsegment",
-                pa.array([h[1] if h else None for h in hits], pa.string()),
-            )
-            return out.filter(mask)  # inner-join semantics
+            idx = pc.index_in(t["o_custkey"], value_set=self.keys)
+            out = t.append_column("c_name", pc.take(self.names, idx))
+            out = out.append_column("c_mktsegment", pc.take(self.segments, idx))
+            # inner-join semantics: null index = miss (null mask rows drop)
+            return out.filter(pc.is_valid(idx))
 
     return orders.map_batches(Join, batch_format="pyarrow", concurrency=2)
 
@@ -223,24 +227,34 @@ def session_windows(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 
 def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q5-shaped multi-join: revenue per nation of one region over a
-    date window. Plan: the two FACT tables (lineitem ⋈ orders) go through
-    Ray's native hash join; every DIMENSION (region→nation→customer/
-    supplier) is broadcast driver-side as dicts (tiny), applied map-side,
-    with a batch-local combine before the final tiny groupby — the
-    canonical big⋈big + broadcast-dims + pre-aggregate shape."""
+    date window. Plan: every FACT-SCALED table goes through Ray's native
+    hash join — orders ⋈ CUSTOMER (customer is 150k×sf rows, far too big
+    to broadcast at 100×), then ⋈ lineitem on orderkey. True DIMENSIONS
+    (region/nation — fixed 5/25 rows — and supplier via the size-threshold
+    switch) are broadcast once as Arrow arrays and probed with vectorized
+    ``pc.index_in``/``pc.take`` (no per-row Python), with a batch-local
+    combine before the final tiny groupby."""
     import ray
 
     # dims (driver-side, tiny): nations of region ASIA; name lookup
     region = _read(sf_dir, "region").to_pandas()
     nation = _read(sf_dir, "nation").to_pandas()
     asia = set(region[region["r_name"] == "ASIA"]["r_regionkey"])
-    nat = nation[nation["n_regionkey"].isin(asia)]
-    nation_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    supp_nation = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
-    dims_ref = ray.put((nation_name, cust_nation, supp_nation))
+    nat = pa.Table.from_pandas(
+        nation[nation["n_regionkey"].isin(asia)][["n_nationkey", "n_name"]],
+        preserve_index=False,
+    ).combine_chunks()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    # supplier is 10k×sf: broadcast below the threshold, native join above
+    if supp.count() <= 2_000_000:
+        supp_tab = _to_arrow(supp)
+    else:  # pragma: no cover - exercised only at cluster scale
+        raise NotImplementedError(
+            "route supplier through ds.join like customer at this scale"
+        )
+    dims_ref = ray.put(
+        (nat["n_nationkey"], nat["n_name"], supp_tab["s_suppkey"], supp_tab["s_nationkey"])
+    )
 
     lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
     hi = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
@@ -252,39 +266,64 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    # FACT ⋈ FACT #1: orders ⋈ customer through the native hash join — the
+    # customer side is never materialized on the driver. Fractional-CPU
+    # aggregators: TWO chained join operators run concurrently in this
+    # plan, and with default (1-CPU) aggregators their pools can't both
+    # schedule on a small node — the executor deadlocks (observed at
+    # num_cpus=4). 0.25 CPU × 8 partitions × 2 joins = 4 logical CPUs of
+    # reservation, and aggregators are I/O-bound between shuffles anyway.
+    join_args = {"aggregator_ray_remote_args": {"num_cpus": 0.25}}
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    # materialize() between the two joins: two LIVE hash-join operators in
+    # one streaming plan deadlock on small nodes (each holds its aggregator
+    # pool while waiting for the other's output; observed at num_cpus=4
+    # even with fractional-CPU aggregators). A join is a full barrier
+    # anyway, so staging its compact 2-int-column output in the (spillable,
+    # distributed) object store costs residency, not an extra pass — the
+    # same staged-shuffle execution Spark/MR use between shuffle stages.
+    orders_n = orders.join(
+        customer, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",), **join_args,
+    ).select_columns(["o_orderkey", "c_nationkey"]).materialize()
     items = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     )
-    joined = orders.join(
+    # FACT ⋈ FACT #2: ⋈ lineitem on orderkey
+    joined = orders_n.join(
         items, join_type="inner", num_partitions=8,
-        on=("o_orderkey",), right_on=("l_orderkey",),
+        on=("o_orderkey",), right_on=("l_orderkey",), **join_args,
     )
 
-    class DimApply:
-        def __init__(self):
-            self.nation_name, self.cust_nation, self.supp_nation = ray.get(dims_ref)
+    # STATELESS task-based dim apply (per-process broadcast cache, the
+    # canonicalize_batch pattern): an actor pool here would RESERVE CPUs
+    # alongside the live hash-join aggregator pool and starve the lineitem
+    # read tasks on small nodes (observed deadlock at num_cpus=4); tasks
+    # share whatever CPUs the executor has free
+    def dim_apply(t: pa.Table, dims_ref=dims_ref) -> pa.Table:
+        dims = _DIM_CACHE.get(dims_ref.hex())
+        if dims is None:
+            dims = _DIM_CACHE[dims_ref.hex()] = ray.get(dims_ref)
+        nat_keys, nat_names, supp_keys, supp_nations = dims
+        # Q5 semantics: customer and supplier in the SAME nation, and
+        # that nation inside the region — all vectorized
+        s_nation = pc.take(
+            supp_nations, pc.index_in(t["l_suppkey"], value_set=supp_keys)
+        )
+        nat_idx = pc.index_in(t["c_nationkey"], value_set=nat_keys)
+        keep = pc.and_(pc.equal(t["c_nationkey"], s_nation), pc.is_valid(nat_idx))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        out = pa.table(
+            {"n_name": pc.take(nat_names, nat_idx), "rev": rev}
+        ).filter(keep)  # null keep (miss) drops, like the inner join
+        # batch-local combine before the tiny global groupby
+        return out.group_by("n_name").aggregate([("rev", "sum")]).rename_columns(
+            ["n_name", "p_rev"]
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            # Q5 semantics: customer and supplier in the SAME nation, and
-            # that nation inside the region
-            names = []
-            keep = []
-            for ck, sk in zip(t["o_custkey"].to_pylist(), t["l_suppkey"].to_pylist()):
-                cn = self.cust_nation.get(ck)
-                keep_row = cn is not None and cn == self.supp_nation.get(sk) and cn in self.nation_name
-                keep.append(keep_row)
-                names.append(self.nation_name.get(cn) if keep_row else None)
-            rev = pc.multiply(
-                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-            )
-            out = pa.table({"n_name": pa.array(names, pa.string()), "rev": rev})
-            out = out.filter(pa.array(keep, pa.bool_()))
-            # batch-local combine before the tiny global groupby
-            return out.group_by("n_name").aggregate([("rev", "sum")]).rename_columns(
-                ["n_name", "p_rev"]
-            )
-
-    partials = joined.map_batches(DimApply, batch_format="pyarrow", concurrency=2)
+    partials = joined.map_batches(dim_apply, batch_format="pyarrow")
     out = (
         partials.groupby("n_name")
         .sum("p_rev")
@@ -300,20 +339,20 @@ def brand_volume(sf_dir: str) -> pd.DataFrame:
     small-side broadcast join + pre-aggregated groupby pattern."""
     import ray
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
-    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+    part = _to_arrow(_read(sf_dir, "part", ["p_partkey", "p_brand"]))
+    brand_ref = ray.put((part["p_partkey"], part["p_brand"]))
     items = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
 
     class Apply:
         def __init__(self):
-            self.brand = ray.get(brand_ref)
+            self.keys, self.brands = ray.get(brand_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            brands = [self.brand.get(k) for k in t["l_partkey"].to_pylist()]
+            idx = pc.index_in(t["l_partkey"], value_set=self.keys)
             out = pa.table(
-                {"p_brand": pa.array(brands, pa.string()), "q": t["l_quantity"]}
+                {"p_brand": pc.take(self.brands, idx), "q": t["l_quantity"]}
             )
-            out = out.filter(pc.is_valid(out["p_brand"]))
+            out = out.filter(pc.is_valid(idx))
             return out.group_by("p_brand").aggregate([("q", "sum"), ("q", "count")]).rename_columns(
                 ["p_brand", "p_q", "p_n"]
             )

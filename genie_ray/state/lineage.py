@@ -90,6 +90,73 @@ def write_partition(
     return manifest
 
 
+def input_fingerprint(path: str) -> str:
+    """Cheap input identity: md5 over the sorted (relative name, byte size)
+    of the input Parquet file(s). Detects a changed, appended or replaced
+    input between a run and its resume WITHOUT reading data bytes — at
+    10^12-file scale this is a listing, not a scan."""
+    h = hashlib.md5()
+    path = os.path.abspath(path)
+    if os.path.isdir(path):
+        entries = []
+        for root, _dirs, files in os.walk(path):
+            for name in files:
+                full = os.path.join(root, name)
+                entries.append((os.path.relpath(full, path), os.path.getsize(full)))
+        for rel, size in sorted(entries):
+            h.update(f"{rel}:{size};".encode())
+    else:
+        h.update(f"{os.path.basename(path)}:{os.path.getsize(path)};".encode())
+    return h.hexdigest()
+
+
+def validated_finished_partitions(
+    output_dir: str,
+    expected: Dict,
+    prefix: str = "part",
+    on_mismatch: str = "raise",
+) -> Set[int]:
+    """Resume-safety gate: return the finished partitions, first checking
+    that every existing manifest was written by an EQUIVALENT run — same
+    values for every key in ``expected`` (e.g. ``num_partitions``,
+    ``input_fingerprint``). A silent mismatch would drop documents whose
+    hash lands in a "finished" partition of a differently-configured run.
+
+    ``on_mismatch``: ``"raise"`` (fail fast, user decides) or
+    ``"invalidate"`` (delete ALL stale manifests + data files and return
+    the empty set — used by derived stages whose input legitimately grows
+    on resume)."""
+    manifests = read_manifests(output_dir, prefix)
+    stale = {
+        part: {k: m.get(k) for k in expected}
+        for part, m in manifests.items()
+        if any(m.get(k) != v for k, v in expected.items())
+    }
+    if not stale:
+        return set(manifests)
+    if on_mismatch == "invalidate":
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: invalidating %d stale %s manifests (run config/input "
+            "changed: expected %s)", output_dir, len(stale), prefix, expected,
+        )
+        for part in stale:
+            data_path, manifest_path = partition_paths(output_dir, part, prefix)
+            for p in (manifest_path, data_path):
+                if os.path.exists(p):
+                    os.unlink(p)
+        return set(manifests) - set(stale)
+    example_part = min(stale)
+    raise ValueError(
+        f"{output_dir}: {len(stale)} finished {prefix} manifest(s) were "
+        f"written by a DIFFERENT run configuration/input — e.g. {prefix} "
+        f"{example_part} recorded {stale[example_part]}, this run expects "
+        f"{expected}. Resuming would silently drop documents. Clear the "
+        "output directory (or rerun with the original config) to proceed."
+    )
+
+
 def finished_partitions(output_dir: str, prefix: str = "part") -> Set[int]:
     """Partitions whose manifest exists (the commit point)."""
     mdir = os.path.join(output_dir, MANIFEST_DIR)
