@@ -234,3 +234,91 @@ def write_documents_parquet(
                 row_group_size=256,
             )
     return path
+
+
+# -- annotated documents (entity spans + aligned triples, for M9/J5) ---------
+
+_DOTTED_ENTS = ("Acme Corp. Extra", "Ver. 2 Kernel")
+
+
+def make_annotated_documents(n_docs: int = 60, seed: int = 42) -> pa.Table:
+    """Documents with entity-SPAN annotations and span-aligned triples —
+    the REBEL-article shape the boundary-aware window exploder consumes
+    (`convert_rebel_data2kilt.py:76-165`). Each document: 2 paragraphs of
+    filler and fact sentences ("{S} {r} {O}."), spans recorded in
+    original-text coordinates; every 4th document plants a fact whose
+    subject surface contains ". " (exercises the dot-guard). Facts are
+    unique per document, so each must surface in exactly one window."""
+    entities, relations = make_catalogs()
+    ents = entities.dedup_surfaces().surfaces()
+    rels = relations.dedup_surfaces().surfaces()
+    ids, texts, ent_cols, trip_cols = [], [], [], []
+    for i in range(n_docs):
+        rng = np.random.default_rng([seed, 7777, i])
+        paragraphs = []
+        spans: List[dict] = []
+        triples: List[dict] = []
+        pos = 0
+        used = set()
+        for p in range(2):
+            sentences = []
+            para_start = pos
+            n_sent = int(rng.integers(2, 5))
+            for s_i in range(n_sent):
+                sent_start = pos
+                kind = rng.integers(0, 3)
+                plant_dotted = i % 4 == 0 and p == 0 and s_i == 0
+                if plant_dotted or kind == 0:
+                    if plant_dotted:
+                        S = _DOTTED_ENTS[int(rng.integers(0, len(_DOTTED_ENTS)))]
+                    else:
+                        S = ents[int(rng.integers(0, len(ents)))]
+                    r = rels[int(rng.integers(0, len(rels)))]
+                    O = ents[int(rng.integers(0, len(ents)))]
+                    if (S, r, O) in used:
+                        sent = "zzfn zzvar zzloop."
+                    else:
+                        used.add((S, r, O))
+                        sent = f"{S} {r} {O}."
+                        s_span = (sent_start, sent_start + len(S))
+                        o_start = sent_start + len(S) + 1 + len(r) + 1
+                        o_span = (o_start, o_start + len(O))
+                        spans.append({"start": s_span[0], "end": s_span[1]})
+                        spans.append({"start": o_span[0], "end": o_span[1]})
+                        triples.append(
+                            {
+                                "s_start": s_span[0], "s_end": s_span[1],
+                                "o_start": o_span[0], "o_end": o_span[1],
+                                "subj": S, "pred": r, "obj": O,
+                            }
+                        )
+                else:
+                    k = int(rng.integers(3, 7))
+                    sent = " ".join(
+                        _FILLER[int(t)] for t in rng.choice(len(_FILLER), size=k)
+                    ) + "."
+                pos += len(sent) + 1  # sentence + joining space (or final \n)
+                sentences.append(sent)
+            paragraphs.append(" ".join(sentences))
+            pos = para_start + len(paragraphs[-1]) + 1  # exact: re-sync + "\n"
+        text = "\n".join(paragraphs)
+        ids.append(sha256_hex(text))
+        texts.append(text)
+        ent_cols.append(spans)
+        trip_cols.append(triples)
+    span_t = pa.struct([("start", pa.int32()), ("end", pa.int32())])
+    trip_t = pa.struct(
+        [
+            ("s_start", pa.int32()), ("s_end", pa.int32()),
+            ("o_start", pa.int32()), ("o_end", pa.int32()),
+            ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+        ]
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "text": pa.array(texts, pa.large_string()),
+            "entities": pa.array(ent_cols, pa.list_(span_t)),
+            "triples": pa.array(trip_cols, pa.list_(trip_t)),
+        }
+    )

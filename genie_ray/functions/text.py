@@ -210,3 +210,125 @@ def explode_sentences(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# -- boundary-aware window exploder (M9/J5: convert_rebel_data2kilt.py:76-165) -
+
+
+def split_article_windows(text, entities, triples):
+    """Reference-faithful article → sentence-window split with entity-span
+    alignment (`convert_rebel_data2kilt.py:76-165`):
+
+    * paragraphs on ``\\n``, sentences on the dot-space regex (`:85`);
+    * DOT-GUARD (`:90-96`): if the candidate cut point falls strictly
+      inside any entity span, keep accumulating — a period inside an
+      entity surface ("Acme Corp. Extra") never splits a window;
+    * entities whose span ends inside the window, sorted by start
+      (`:98-105`); per entity, its subject-triples whose subject AND
+      object spans end inside the window, sorted by object start
+      (`:107-122`); window-local dedup preserving first-seen order
+      (`:134-139`);
+    * windows with zero triples are dropped (`:141-143`); whitespace
+      collapsed on emit (`:147`).
+
+    Coordinate note (mirrored from the reference): each sentence is
+    re-joined with a trailing space, so a window's running length is one
+    char longer than the source paragraph slice — exactly compensating
+    the ``\\n`` the paragraph split consumed, which keeps ``prev_len``
+    aligned with the ORIGINAL text offsets the spans refer to.
+
+    ``entities``: iterable of (start, end). ``triples``: dicts with
+    ``s_start/s_end/o_start/o_end/subj/pred/obj``. Returns
+    ``[(window_text, [triple, ...]), ...]`` — pure, row-local.
+    """
+    windows = []
+    prev_len = 0
+    bounds = list(entities)
+    for paragraph in (text or "").split("\n"):
+        if len(paragraph) == 0:
+            continue
+        buf = ""
+        for sentence in _SENT_SPLIT_RE.split(paragraph):
+            buf += sentence + " "
+            cut = len(buf) + prev_len
+            if any(s < cut < e for (s, e) in bounds):
+                continue  # dot inside an entity surface (`:90-96`)
+            ents_in = sorted(
+                ((s, e) for (s, e) in bounds if prev_len < e <= cut),
+                key=lambda b: b[0],
+            )
+            seen = set()
+            selected = []
+            for es, ee in ents_in:
+                trips = sorted(
+                    (
+                        t
+                        for t in triples
+                        if t["s_start"] == es
+                        and t["s_end"] == ee
+                        and prev_len < t["s_end"] <= cut
+                        and prev_len < t["o_end"] <= cut
+                    ),
+                    key=lambda t: t["o_start"],
+                )
+                for t in trips:
+                    key = (t["subj"], t["pred"], t["obj"])
+                    if key not in seen:
+                        seen.add(key)
+                        selected.append(t)
+            prev_len += len(buf)
+            if not selected:
+                buf = ""
+                continue
+            windows.append((re.sub(r"\s{2,}", " ", buf), selected))
+            buf = ""
+    return windows
+
+
+def explode_windows_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Flat-map: one annotated document row → N aligned sentence windows,
+    each carrying the linearized target of exactly the triples inside it
+    (ready to feed the sample filters / extraction pipeline). Expects
+    ``entities`` (list<struct{start,end}>) and ``triples``
+    (list<struct{s_start,s_end,o_start,o_end,subj,pred,obj}>) columns."""
+    from ..core.linearization import linearize_triples
+
+    o_id, o_win, o_text, o_lin = [], [], [], []
+    for did, text, ents, trips in zip(
+        batch[id_col].to_pylist(),
+        batch[text_col].to_pylist(),
+        batch["entities"].to_pylist(),
+        batch["triples"].to_pylist(),
+    ):
+        bounds = [(e["start"], e["end"]) for e in (ents or [])]
+        for w, (win_text, selected) in enumerate(
+            split_article_windows(text, bounds, trips or [])
+        ):
+            o_id.append(did)
+            o_win.append(w)
+            o_text.append(win_text)
+            o_lin.append(
+                linearize_triples([(t["subj"], t["pred"], t["obj"]) for t in selected])
+            )
+    return pa.table(
+        {
+            id_col: pa.array(o_id, batch[id_col].type),
+            "window_idx": pa.array(o_win, pa.int32()),
+            "sentence": pa.array(o_text, pa.string()),
+            "linearization": pa.array(o_lin, pa.string()),
+        }
+    )
+
+
+def explode_windows(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """M9/J5 as a Dataset op: row-local flat map, no shuffle."""
+    return ds.map_batches(
+        explode_windows_batch,
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

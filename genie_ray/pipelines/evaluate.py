@@ -175,7 +175,14 @@ def macro_metrics_distributed(
 ) -> Dict:
     """G5: unweighted mean of per-relation P/R/F1 over relations with ≥1
     target occurrence (`evaluators.py:84-89`)."""
-    per_rel = per_relation_counters(parse_sides(predictions, targets))
+    return macro_from_per_rel(
+        per_relation_counters(parse_sides(predictions, targets))
+    )
+
+
+def macro_from_per_rel(per_rel: pd.DataFrame) -> Dict:
+    """Macro metrics from an already-computed per-relation counter frame
+    (shared by the one-pass results orchestration)."""
     per_rel = per_rel[per_rel["target"] > 0]  # reference: all_relations = target rels
     if per_rel.empty:
         return {"precision": 0.0, "recall": 0.0, "f1": 0.0, "num_relations": 0}

@@ -80,6 +80,45 @@ def cmd_evaluate(args) -> dict:
     return {"micro": micro, "macro": macro}
 
 
+def cmd_results(args) -> dict:
+    """``results`` mode: the reference's ``evaluate_from_file`` composition
+    (micro+bootstrap / macro / bucket / zero-shot) over a predictions and
+    targets Parquet pair, written as per-evaluator JSONs + the merged
+    results object (S10)."""
+    import ray.data
+
+    from .pipelines.results import run_full_evaluation, write_results
+    from .pipelines.samples import read_relation_set, zero_shot_relation_groups
+
+    preds = ray.data.read_parquet(args.predictions)
+    targets = ray.data.read_parquet(args.targets)
+    occurrence = (
+        ray.data.read_parquet(args.train_targets) if args.train_targets else None
+    )
+    rel2group = None
+    if args.relations_dropped or args.relations_ignored:
+        dropped = (
+            read_relation_set(args.relations_dropped) if args.relations_dropped else set()
+        )
+        ignored = (
+            read_relation_set(args.relations_ignored) if args.relations_ignored else set()
+        )
+        from .pipelines.evaluate import relation_occurrence
+
+        observed = set(relation_occurrence(ray.data.read_parquet(args.targets)))
+        rel2group = zero_shot_relation_groups(observed | dropped | ignored, dropped, ignored)
+    results = run_full_evaluation(
+        preds,
+        targets,
+        occurrence_targets=occurrence,
+        rel2group=rel2group,
+        num_bootstrap_samples=args.bootstrap,
+    )
+    path = write_results(results, args.output)
+    return {"results_object": path, "micro_f1": results["micro"]["f1"],
+            "macro_f1": results["macro"]["f1"]}
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="genie_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -102,6 +141,21 @@ def main(argv=None) -> None:
     ev.add_argument("--predictions", required=True)
     ev.add_argument("--targets", required=True)
     ev.set_defaults(fn=cmd_evaluate)
+
+    rs = sub.add_parser("results")
+    rs.add_argument("--predictions", required=True)
+    rs.add_argument("--targets", required=True)
+    rs.add_argument("--output", required=True)
+    rs.add_argument("--train-targets", default=None,
+                    help="corpus defining bucket occurrence counts "
+                         "(reference reloads the train split); defaults to "
+                         "--targets")
+    rs.add_argument("--relations-dropped", default=None,
+                    help="JSONL relation set: zero-shot 'dropped' group")
+    rs.add_argument("--relations-ignored", default=None,
+                    help="JSONL relation set: zero-shot 'ignored' group")
+    rs.add_argument("--bootstrap", type=int, default=50)
+    rs.set_defaults(fn=cmd_results)
 
     args = ap.parse_args(argv)
     _ensure_ray(args.num_cpus)

@@ -256,3 +256,62 @@ def test_minhash_arbitrary_shingle_k(docs_ds):
     assert out.num_rows == t.num_rows
     out2 = minhash_signatures_batch(t, shingle_k=7)
     assert out.equals(out2)  # deterministic
+
+
+def test_simhash_dup_pairs_matches_all_pairs(docs_ds):
+    """Banded bit-chunk pair search is EXACT for max_hamming < num_bands:
+    must equal the brute-force all-pairs Hamming join."""
+    from genie_ray.functions.dedup import hamming64, simhash_dup_pairs
+
+    sigs_t = simhash_batch(_docs_table())
+    want = set()
+    rows = list(zip(sigs_t["doc_id"].to_pylist(), sigs_t["simhash"].to_pylist()))
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if hamming64(rows[i][1], rows[j][1]) <= 8:
+                a, b = sorted((rows[i][0], rows[j][0]))
+                want.add((a, b))
+    sigs = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
+    got_df = simhash_dup_pairs(sigs, max_hamming=8, num_bands=16).to_pandas()
+    got = set(zip(got_df["id_a"], got_df["id_b"]))
+    assert got == want
+    assert (30, 32) in got  # the exact-dup pair (hamming 0)
+
+
+def test_simhash_dup_pairs_rejects_inexact_config(docs_ds):
+    from genie_ray.functions.dedup import simhash_dup_pairs
+
+    sigs = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
+    with pytest.raises(AssertionError, match="exact"):
+        simhash_dup_pairs(sigs, max_hamming=16, num_bands=16)
+
+
+def test_lsh_hot_bucket_truncation_reported(ray_session):
+    """A bucket over the cap truncates LOUDLY: every emitted pair carries
+    the count of docs dropped from its bucket."""
+    from genie_ray.functions.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures_batch,
+    )
+
+    n = 15
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["identical boilerplate text here"] * n, pa.string()),
+    })
+    sigs = ray.data.from_arrow(t).map_batches(
+        minhash_signatures_batch, batch_format="pyarrow"
+    )
+    cands = minhash_lsh_candidates(sigs, bucket_cap=10).to_pandas()
+    # every band-bucket holds all 15 identical docs → truncated = 5
+    assert (cands["bucket_truncated"] == 5).all()
+    # and only the first 10 ids generate pairs
+    assert cands["id_b"].max() == 9
+
+
+def test_ngram_jaccard_audit_gate(docs_ds):
+    """The exact all-pairs operator refuses corpus-scale input."""
+    from genie_ray.functions.dedup import ngram_jaccard_pairs
+
+    with pytest.raises(ValueError, match="audit"):
+        ngram_jaccard_pairs(docs_ds, audit_limit=10)

@@ -179,3 +179,56 @@ def test_partition_invariance(setup, tmp_path):
     ta = read_all_triples(da).sort_by([("doc_id", "ascending"), ("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")])
     tb = read_all_triples(db).sort_by([("doc_id", "ascending"), ("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")])
     assert ta.equals(tb)
+
+
+def test_resume_rejects_changed_partition_count(setup):
+    """A manifest written with num_partitions=8 must not silently satisfy
+    a rerun with num_partitions=4 (docs would hash into 'finished' parts)."""
+    world, docs, input_path, root = setup
+    out = str(root / "resume_guard")
+    run_kg_pipeline(input_path, out, world=world,
+                    cfg=KGConfig(num_partitions=8, num_buckets=4,
+                                 concurrency=2, batch_size=16))
+    with pytest.raises(ValueError, match="DIFFERENT run configuration"):
+        run_kg_pipeline(input_path, out, world=world,
+                        cfg=KGConfig(num_partitions=4, num_buckets=4,
+                                     concurrency=2, batch_size=16))
+
+
+def test_resume_rejects_changed_input(setup, tmp_path):
+    """Appending to the input between run and resume must fail fast."""
+    world, docs, input_path, root = setup
+    grown = str(tmp_path / "docs_grow.parquet")
+    pq.write_table(docs.slice(0, 100), grown)
+    out = str(tmp_path / "out")
+    run_kg_pipeline(grown, out, world=world,
+                    cfg=KGConfig(num_partitions=8, num_buckets=4,
+                                 concurrency=2, batch_size=16))
+    pq.write_table(docs, grown)  # input grew
+    with pytest.raises(ValueError, match="DIFFERENT run configuration"):
+        run_kg_pipeline(grown, out, world=world,
+                        cfg=KGConfig(num_partitions=8, num_buckets=4,
+                                     concurrency=2, batch_size=16))
+
+
+def test_graph_buckets_invalidated_on_config_change(setup, tmp_path):
+    """Stage B derives from stage A's output: a changed bucket count
+    invalidates (recomputes) stale buckets instead of failing."""
+    world, docs, input_path, root = setup
+    out = str(tmp_path / "out")
+    run_kg_pipeline(input_path, out, world=world,
+                    cfg=KGConfig(num_partitions=8, num_buckets=4,
+                                 concurrency=2, batch_size=16))
+    g1 = pq.read_table(os.path.join(out, "graph")).sort_by(
+        [("subj_id", "ascending"), ("pred_id", "ascending"), ("obj_id", "ascending")]
+    )
+    summary = build_graph(os.path.join(out, "triples"), os.path.join(out, "graph"),
+                          cfg=KGConfig(num_partitions=8, num_buckets=2,
+                                       concurrency=2, batch_size=16)).to_pandas()
+    assert len(summary) == 2  # all 2 new buckets computed fresh
+    g2 = pq.read_table(os.path.join(out, "graph")).sort_by(
+        [("subj_id", "ascending"), ("pred_id", "ascending"), ("obj_id", "ascending")]
+    )
+    assert g1.select(["subj_id", "pred_id", "obj_id", "support"]).equals(
+        g2.select(["subj_id", "pred_id", "obj_id", "support"])
+    )
