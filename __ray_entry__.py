@@ -455,6 +455,21 @@ def _q_explode_sentences(sf_dir: str):
     return explode_sentences(ds)
 
 
+def _q_explode_windows(sf_dir: str):
+    """Boundary-aware sentence-window exploder (M9/J5): annotated fixture
+    docs → span-aligned windows with per-window linearized targets.
+    Rows-only (nested span arithmetic is not SQL-expressible; pytest
+    property-gates it: no split inside an entity span, triples assigned
+    only to containing windows)."""
+    import ray.data
+
+    from genie_ray.fixtures import make_annotated_documents
+    from genie_ray.functions.text import explode_windows
+
+    ds = ray.data.from_arrow(make_annotated_documents(n_docs=120, seed=42))
+    return explode_windows(ds)
+
+
 def _q_jaccard_pairs(sf_dir: str):
     import os
 
@@ -522,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "explode_sentences": _q_explode_sentences,
+        "explode_windows": _q_explode_windows,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "simhash": _q_simhash,

@@ -181,22 +181,34 @@ def minhash_lsh_candidates(
     logged, so recall loss is observable downstream."""
     import logging
 
+    band_salts = _mix_constants(num_bands)  # distinct 64-bit salt per band
+
     def explode(batch: pa.Table) -> pa.Table:
+        """Vectorized banding: one multiply-add reduction per batch turns
+        each (doc, band) signature segment into a 64-bit bucket key — no
+        per-row hashing (the earlier md5-of-repr cost ~1s per 5k docs)."""
         ids = batch[id_col].to_pylist()
-        sigs_ = batch["minhash"].to_pylist()
-        o_band, o_hash, o_id = [], [], []
-        for did, sig in zip(ids, sigs_):
-            for b in range(num_bands):
-                seg = tuple(sig[b * rows_per_band : (b + 1) * rows_per_band])
-                h = hashlib.md5(repr((b, seg)).encode()).hexdigest()[:16]
-                o_band.append(b)
-                o_hash.append(h)
-                o_id.append(did)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    id_col: pa.array([], batch[id_col].type),
+                }
+            )
+        sig = np.asarray(batch["minhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+        sig = sig.reshape(n, num_bands, rows_per_band)
+        mix = _mix_constants(rows_per_band)
+        with np.errstate(over="ignore"):
+            bh = (sig * mix).sum(axis=2, dtype=np.uint64) ^ band_salts[None, :]
         return pa.table(
             {
-                "band": pa.array(o_band, pa.int32()),
-                "band_hash": pa.array(o_hash, pa.string()),
-                id_col: pa.array(o_id, batch[id_col].type),
+                "band": pa.array(
+                    np.repeat(np.arange(num_bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(bh.T.reshape(-1).view(np.int64)),
+                id_col: pa.array(ids * num_bands, batch[id_col].type),
             }
         )
 
@@ -264,22 +276,31 @@ def verify_jaccard_pairs(
     sch = docs.schema()
     id_type = dict(zip(sch.names, sch.types))[id_col]
 
-    pairs = (
-        candidates.groupby(["id_a", "id_b"])
-        .count()
-        .map_batches(
-            lambda t: t.select(["id_a", "id_b"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-    )
-
-    def explode_ids(t: pa.Table) -> pa.Table:
+    def local_dedup(t: pa.Table) -> pa.Table:
+        seen = set()
+        a_, b_ = [], []
+        for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
+            if (a, b) not in seen:
+                seen.add((a, b))
+                a_.append(a)
+                b_.append(b)
         return pa.table(
-            {id_col: pa.array(t["id_a"].to_pylist() + t["id_b"].to_pylist(), id_type)}
+            {"id_a": pa.array(a_, id_type), "id_b": pa.array(b_, id_type)}
         )
 
-    need = set(pairs.map_batches(explode_ids, batch_format="pyarrow").unique(id_col))
+    # materialize ONCE: the pair table is tiny (LSH output) but feeds two
+    # consumers below — without this the whole signatures+LSH chain would
+    # re-execute per consumer (measured 3-4x the verify cost). Batch-local
+    # dedup only; global dedup happens inside the final pair group (cheaper
+    # than a dedicated distinct shuffle).
+    pairs = candidates.map_batches(
+        local_dedup, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # candidate-ID SET → driver (ids only, a vanishing fraction of the
+    # corpus by LSH design) → broadcast as the docs-scan pruning filter
+    ids_df = pairs.to_pandas()
+    need = set(ids_df["id_a"]) | set(ids_df["id_b"])
     if not need:
         return ray.data.from_arrow(
             pa.table(
@@ -300,12 +321,13 @@ def verify_jaccard_pairs(
                 o_h.append(
                     _shingle_hashes(t, shingle_k).astype(np.int64).tolist()
                 )
+        n = len(o_id)
         return pa.table(
             {
-                id_col: pa.array(o_id, id_type),
-                "pair_key": pa.array([None] * len(o_id), pa.string()),
-                "id_a": pa.array([None] * len(o_id), id_type),
-                "id_b": pa.array([None] * len(o_id), id_type),
+                "join_key": pa.array(o_id, id_type),
+                "pair_key": pa.array([None] * n, pa.string()),
+                "id_a": pa.array([None] * n, id_type),
+                "id_b": pa.array([None] * n, id_type),
                 "hashes": pa.array(o_h, pa.list_(pa.int64())),
             }
         )
@@ -316,7 +338,7 @@ def verify_jaccard_pairs(
         keys = [f"{x}{_PAIR_SEP}{y}" for x, y in zip(a, b)]
         return pa.table(
             {
-                id_col: pa.array(a + b, id_type),
+                "join_key": pa.array(a + b, id_type),
                 "pair_key": pa.array(keys + keys, pa.string()),
                 "id_a": pa.array(a + a, id_type),
                 "id_b": pa.array(b + b, id_type),
@@ -330,7 +352,9 @@ def verify_jaccard_pairs(
 
     def attach(g: pa.Table) -> pa.Table:
         """One doc's group: its shingle row + every pair row touching it —
-        emit (pair_key, id_a, id_b, hashes) rows carrying the doc's set."""
+        emit (pair_key, id_a, id_b, doc, hashes) rows carrying the doc's
+        shingle set to the pair group."""
+        doc = g["join_key"][0].as_py()
         hashes = None
         for pk, h in zip(g["pair_key"].to_pylist(), g["hashes"].to_pylist()):
             if pk is None:
@@ -348,16 +372,20 @@ def verify_jaccard_pairs(
                 "pair_key": pa.array(o_pk, pa.string()),
                 "id_a": pa.array(o_a, id_type),
                 "id_b": pa.array(o_b, id_type),
+                "doc": pa.array([doc] * len(o_pk), id_type),
                 "hashes": pa.array([hashes or []] * len(o_pk), pa.list_(pa.int64())),
             }
         )
 
-    sides = tagged.groupby(id_col).map_groups(attach, batch_format="pyarrow")
+    sides = tagged.groupby("join_key").map_groups(attach, batch_format="pyarrow")
 
     def judge(g: pa.Table) -> pa.Table:
-        hs = g["hashes"].to_pylist()
-        sa = set(hs[0] or [])
-        sb = set(hs[1] or []) if len(hs) > 1 else set()
+        # duplicate pair rows (cross-band) collapse here: doc → hashes
+        by_doc = dict(zip(g["doc"].to_pylist(), g["hashes"].to_pylist()))
+        a = g["id_a"][0].as_py()
+        b = g["id_b"][0].as_py()
+        sa = set(by_doc.get(a) or [])
+        sb = set(by_doc.get(b) or [])
         union = len(sa | sb)
         j = (len(sa & sb) / union) if union else 0.0
         if j < threshold:
@@ -367,8 +395,8 @@ def verify_jaccard_pairs(
             )
         return pa.table(
             {
-                "id_a": pa.array([g["id_a"][0].as_py()], id_type),
-                "id_b": pa.array([g["id_b"][0].as_py()], id_type),
+                "id_a": pa.array([a], id_type),
+                "id_b": pa.array([b], id_type),
                 "jaccard": pa.array([j], pa.float64()),
             }
         )
