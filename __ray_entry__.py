@@ -192,6 +192,24 @@ def _q_bucket_eval(sf_dir: str):
     return out
 
 
+def _q_canonicalize_join(sf_dir: str):
+    """Web-scale canonicalization path: surface→ID as a distributed
+    LEFT OUTER hash join on (kind, surface) — for catalogs too large to
+    broadcast. Must equal the broadcast path (and the SQL join oracle)."""
+    import ray.data
+
+    from genie_ray.stages.canonicalize import canonicalize_via_join
+
+    paths = _golden()
+    raw = ray.data.read_parquet(
+        paths["triples"], columns=["doc_id", "subj", "pred", "obj"]
+    )
+    catalog = ray.data.read_parquet(
+        [paths["catalog_entities"], paths["catalog_relations"]]
+    )
+    return canonicalize_via_join(raw, catalog, num_partitions=8)
+
+
 # -- zero-shot dataset-prep filters (M5-M8, reference datasets.py:102-253) --
 
 
@@ -558,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "micro_eval": _q_micro_eval,
         "macro_eval": _q_macro_eval,
         "bucket_eval": _q_bucket_eval,
+        "canonicalize_join": _q_canonicalize_join,
         # zero-shot dataset-prep filters (M5-M8)
         "sample_filter_drop": _q_sample_filter_drop,
         "sample_filter_keep": _q_sample_filter_keep,
@@ -797,6 +816,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT subj_id, pred_id, obj_id, count(*) AS support "
             f"FROM read_parquet('{triples}') WHERE matched "
             "GROUP BY subj_id, pred_id, obj_id"
+        ),
+        "canonicalize_join": (
+            "SELECT t.doc_id, t.subj, t.pred, t.obj, "
+            "e1.cid AS subj_id, r.cid AS pred_id, e2.cid AS obj_id, "
+            "(e1.cid IS NOT NULL AND r.cid IS NOT NULL AND e2.cid IS NOT NULL) "
+            "  AS matched, "
+            "CASE WHEN e1.cid IS NULL OR r.cid IS NULL OR e2.cid IS NULL "
+            "       THEN 'no_match' "
+            "     WHEN e1.provenance = 'en_label' OR r.provenance = 'en_label' "
+            "       OR e2.provenance = 'en_label' THEN 'label' "
+            "     ELSE 'title' END AS match_status "
+            f"FROM read_parquet('{triples}') t "
+            f"LEFT JOIN read_parquet('{paths['catalog_entities']}') e1 "
+            "  ON t.subj = e1.surface "
+            f"LEFT JOIN read_parquet('{paths['catalog_relations']}') r "
+            "  ON t.pred = r.surface "
+            f"LEFT JOIN read_parquet('{paths['catalog_entities']}') e2 "
+            "  ON t.obj = e2.surface"
         ),
         "micro_eval": micro_sql,
         "macro_eval": macro_sql,

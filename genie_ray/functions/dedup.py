@@ -13,10 +13,11 @@ from __future__ import annotations
 
 import hashlib
 import re
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
 
 _WORD_RE = re.compile(r"\w+")
@@ -587,6 +588,48 @@ def embedding_near_dup_pairs(
         )
 
     return ds.groupby(block_col).map_groups(per_block, batch_format="pyarrow")
+
+
+def embedding_near_dup_pairs_lsh(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Web-scale blocking for ``embedding_near_dup_pairs``: the blocking
+    key is a signed-random-projection (SRP) LSH bucket of the embedding —
+    ``num_planes`` hyperplanes drawn deterministically from ``seed`` give a
+    2^planes-bucket code; vectors sharing a bucket get the exact blocked
+    cosine matmul. Approximate by design (a near-dup pair straddling a
+    hyperplane is missed; P[same bit] = 1 − θ/π per plane — identical
+    directions ALWAYS share a bucket), recall tunable via fewer planes or
+    multiple salted tables. Replaces the label/shard blocking column when
+    no natural key exists."""
+    if dim is None:
+        first = ds.take(1)[0]
+        dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_planes))
+    planes_ref = ray.put(planes)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        w = ray.get(planes_ref)
+        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        if len(vecs) == 0:
+            return batch.append_column("srp_block", pa.array([], pa.int64()))
+        bits = (vecs @ w) > 0
+        codes = (bits * weights).sum(axis=1)
+        return batch.append_column("srp_block", pa.array(codes, pa.int64()))
+
+    blocked = ds.map_batches(bucket, batch_format="pyarrow")
+    return embedding_near_dup_pairs(
+        blocked, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        block_col="srp_block",
+    )
 
 
 # -- exact n-gram Jaccard all-pairs (verification-side primitive) -------------

@@ -68,6 +68,8 @@ ARTIFACTS = (
     "simdocs.parquet",
     "simsigs.parquet",
     "entities.parquet",
+    "catalog_entities.parquet",
+    "catalog_relations.parquet",
 )
 
 
@@ -252,6 +254,13 @@ def ensure_golden(n_docs: int = 300, seed: int = 42) -> Dict[str, str]:
             }
         ),
     )
+
+    # title-deduped catalogs WITH provenance — the join side of the
+    # hash-partition canonicalization and its SQL oracle
+    from .stages.canonicalize import catalog_table
+
+    w("catalog_entities", catalog_table(world.entities, "e"))
+    w("catalog_relations", catalog_table(world.relations, "r"))
 
     # atomic publish: a crashed writer never leaves a half directory
     shutil.rmtree(base, ignore_errors=True)

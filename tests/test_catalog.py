@@ -97,3 +97,55 @@ def test_arrow_round_trip(ents):
     t = ents.to_arrow(id_col="ent_id")
     back = Catalog.from_arrow(t, id_col="ent_id")
     assert back.id2surface == ents.id2surface
+
+
+def test_canonicalize_join_equals_broadcast(ray_session):
+    """The hash-partition JOIN canonicalization (catalog too large to
+    broadcast) must emit exactly the broadcast path's output."""
+    import pyarrow as pa
+    import ray.data
+
+    from genie_ray.core.world import World
+    from genie_ray.fixtures import make_catalogs, make_documents
+    from genie_ray.core.oracle import oracle_extract
+    from genie_ray.stages.canonicalize import (
+        CanonicalizeTriples,
+        canonicalize_via_join,
+        catalog_table,
+    )
+
+    entities, relations = make_catalogs(n_entities=120, n_relations=25)
+    world = World.build(entities, relations)
+    docs = make_documents(n_docs=60, seed=7, entities=entities, relations=relations)
+    by_doc = oracle_extract(docs, world)
+    rows = [
+        {"doc_id": d, "subj": s, "pred": r, "obj": o}
+        for d in sorted(by_doc)
+        for s, r, o in sorted(by_doc[d])
+    ]
+    raw = pa.Table.from_pylist(rows)
+    assert raw.num_rows > 50
+
+    broadcast = CanonicalizeTriples(world)(raw)
+    catalog = ray.data.from_arrow(
+        pa.concat_tables(
+            [catalog_table(world.entities, "e"), catalog_table(world.relations, "r")]
+        )
+    )
+    joined = (
+        canonicalize_via_join(ray.data.from_arrow(raw), catalog, num_partitions=4)
+        .to_pandas()
+        .sort_values(["doc_id", "subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    want = (
+        broadcast.to_pandas()
+        .sort_values(["doc_id", "subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(joined[want.columns.tolist()], want)
+    # some label-provenance and no_match rows must actually occur for the
+    # status logic to be exercised
+    assert set(want["match_status"]) >= {"title"}

@@ -315,3 +315,23 @@ def test_ngram_jaccard_audit_gate(docs_ds):
 
     with pytest.raises(ValueError, match="audit"):
         ngram_jaccard_pairs(docs_ds, audit_limit=10)
+
+
+def test_embedding_lsh_blocking_finds_scaled_copies(ray_session):
+    """SRP-bucketed near-dup: identical DIRECTIONS always share a bucket
+    (sign(Wx) is scale-invariant), so planted scaled copies must pair."""
+    from genie_ray.functions.dedup import embedding_near_dup_pairs_lsh
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((50, 16))
+    rows = []
+    for i, v in enumerate(vecs):
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    # planted: 100..104 are positive-scaled copies of 0..4 (cosine 1.0)
+    for i in range(5):
+        rows.append({"vec_id": 100 + i, "embedding": (2.5 * vecs[i]).tolist()})
+    ds = ray.data.from_items(rows)
+    out = embedding_near_dup_pairs_lsh(ds, threshold=0.999, num_planes=6).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    for i in range(5):
+        assert (i, 100 + i) in pairs
