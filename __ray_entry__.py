@@ -276,6 +276,18 @@ def _q_token_counts(sf_dir: str):
     return token_counts(ds).select_columns(["doc_id", "n_tokens"])
 
 
+def _q_token_counts_bpe(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.text import token_counts_bpe
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return token_counts_bpe(ds).select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def _q_quality(sf_dir: str):
     import os
 
@@ -551,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": R.session_windows,
         # text analysis (SQL-checked where expressible)
         "token_counts": _q_token_counts,
+        "token_counts_bpe": _q_token_counts_bpe,
         "quality": _q_quality,
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
@@ -745,6 +758,11 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": (
             "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
             "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+            "FROM documents"
+        ),
+        "token_counts_bpe": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens "
             "FROM documents"
         ),
         "quality": (

@@ -34,6 +34,27 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pa.array(counts, pa.int64()))
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-style segment classes, ASCII
+# form so Python re and DuckDB RE2 agree): letter runs, digit runs, single
+# other-symbols. Token COUNT under this split approximates subword budget
+# far better than whitespace for source code ("foo(bar,baz)" = 6, not 1).
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+BPE_SQL_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count_bpe_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    counts = [len(_BPE_RE.findall(t)) if t else 0 for t in texts]
+    return batch.append_column("n_bpe_tokens", pa.array(counts, pa.int64()))
+
+
+def token_counts_bpe(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    return ds.map_batches(
+        token_count_bpe_batch, fn_kwargs={"text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality heuristics: length, punctuation ratio, stopword ratio, mean
     token length. Ratios are over explicit, SQL-matchable definitions:
