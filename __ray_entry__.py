@@ -192,6 +192,16 @@ def _q_bucket_eval(sf_dir: str):
     return out
 
 
+def _q_kilt_examples(sf_dir: str):
+    """S1/M3/M4: KILT JSONL split → example projection with the 'title'
+    matching-status filter (`datasets.py:203-267`). Oracle: DuckDB
+    read_json over the same fixture."""
+    from genie_ray.sources.kilt import read_kilt_examples
+
+    ds = read_kilt_examples(_golden()["kilt"], matching_status="title")
+    return ds.select_columns(["doc_id", "src", "trg"])
+
+
 def _q_canonicalize_join(sf_dir: str):
     """Web-scale canonicalization path: surface→ID as a distributed
     LEFT OUTER hash join on (kind, surface) — for catalogs too large to
@@ -450,7 +460,8 @@ def _q_catalog_from_dump(sf_dir: str):
 def _q_kg_beams(sf_dir: str):
     """Full-beam generations table (reference save_full_beams,
     configs/model/inference/default.yaml:22): one row per (doc, beam
-    rank). Rows-only."""
+    rank), checked bit-for-bit (incl. log_prob float64) against the
+    single-process extractor's golden beams parquet."""
     import ray.data
 
     from genie_ray.core.world import World
@@ -590,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "macro_eval": _q_macro_eval,
         "bucket_eval": _q_bucket_eval,
         "canonicalize_join": _q_canonicalize_join,
+        "kilt_examples": _q_kilt_examples,
         # zero-shot dataset-prep filters (M5-M8)
         "sample_filter_drop": _q_sample_filter_drop,
         "sample_filter_keep": _q_sample_filter_keep,
@@ -835,6 +847,11 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{triples}') WHERE matched "
             "GROUP BY subj_id, pred_id, obj_id"
         ),
+        "kilt_examples": (
+            "SELECT id AS doc_id, input AS src, output[1].answer AS trg "
+            f"FROM read_json_auto('{paths['kilt']}') "
+            "WHERE output[1].instance_matching_status IN ('title')"
+        ),
         "canonicalize_join": (
             "SELECT t.doc_id, t.subj, t.pred, t.obj, "
             "e1.cid AS subj_id, r.cid AS pred_id, e2.cid AS obj_id, "
@@ -863,6 +880,10 @@ def oracle_sql() -> dict[str, str]:
         "media_features": (
             "SELECT media_id, mime, payload_sha256 "
             f"FROM read_parquet('{paths['media']}')"
+        ),
+        "kg_beams": (
+            "SELECT doc_id, beam_rank, prediction, log_prob "
+            f"FROM read_parquet('{paths['beams']}')"
         ),
         "simhash_dup_pairs": (
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "

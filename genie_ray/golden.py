@@ -70,6 +70,8 @@ ARTIFACTS = (
     "entities.parquet",
     "catalog_entities.parquet",
     "catalog_relations.parquet",
+    "beams.parquet",
+    "kilt.jsonl",
 )
 
 
@@ -255,12 +257,46 @@ def ensure_golden(n_docs: int = 300, seed: int = 42) -> Dict[str, str]:
         ),
     )
 
+    # full-beam generations (reference save_full_beams) from the single-
+    # process extractor — deterministic, so the distributed actor pool must
+    # reproduce every (doc, rank, text, log_prob) row bit-for-bit
+    extractor = world.make_extractor(
+        num_beams=10, validate_with_fsm=False, decode_mode="scan"
+    )
+    from .core.oracle import doc_id_of
+
+    b_doc, b_rank, b_text, b_lp = [], [], [], []
+    for content in docs["content"].to_pylist():
+        did = doc_id_of(content)
+        for rank, beam in enumerate(extractor.generate(did, content)):
+            b_doc.append(did)
+            b_rank.append(rank)
+            b_text.append(beam.text)
+            b_lp.append(beam.log_prob)
+    w(
+        "beams",
+        pa.table(
+            {
+                "doc_id": pa.array(b_doc, pa.string()),
+                "beam_rank": pa.array(b_rank, pa.int32()),
+                "prediction": pa.array(b_text, pa.string()),
+                "log_prob": pa.array(b_lp, pa.float64()),
+            }
+        ),
+    )
+
     # title-deduped catalogs WITH provenance — the join side of the
     # hash-partition canonicalization and its SQL oracle
     from .stages.canonicalize import catalog_table
 
     w("catalog_entities", catalog_table(world.entities, "e"))
     w("catalog_relations", catalog_table(world.relations, "r"))
+
+    # KILT-format split (the reference's input format) for the S1/M3
+    # reader chain and its read_json SQL oracle
+    from .sources.kilt import write_kilt_fixture
+
+    write_kilt_fixture(os.path.join(tmp, "kilt.jsonl"), n_docs=n_docs, seed=seed)
 
     # atomic publish: a crashed writer never leaves a half directory
     shutil.rmtree(base, ignore_errors=True)

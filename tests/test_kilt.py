@@ -1,0 +1,143 @@
+"""KILT-format source: reader, from_kilt_dataset composition (M3-M8),
+annotation pass (M11) — reference `datasets.py:92-267`,
+`surface_forms_utils.py:173-232`."""
+
+import json
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from genie_ray.core.linearization import linearize_triples, parse_linearization
+from genie_ray.sources.kilt import (
+    annotate_kilt_examples,
+    read_kilt,
+    read_kilt_examples,
+    write_kilt_fixture,
+)
+
+
+@pytest.fixture(scope="module")
+def kilt_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("kilt") / "split.jsonl"
+    write_kilt_fixture(str(p), n_docs=80, seed=42)
+    return str(p)
+
+
+def _raw(kilt_path):
+    return [json.loads(line) for line in open(kilt_path) if line.strip()]
+
+
+def test_reader_parses_every_line(ray_session, kilt_path):
+    raw = _raw(kilt_path)
+    got = read_kilt(kilt_path).to_pandas()
+    assert len(got) == len(raw)
+    assert set(got["doc_id"]) == {str(r["id"]) for r in raw}
+
+
+def test_matching_status_filter(ray_session, kilt_path):
+    """datasets.py:157-169: 'title' → {title}; 'label' → {title,label};
+    other → raise."""
+    raw = _raw(kilt_path)
+    statuses = [r["output"][0]["instance_matching_status"] for r in raw]
+    n_title = statuses.count("title")
+    n_label = statuses.count("label")
+    assert read_kilt_examples(kilt_path, matching_status="title").count() == n_title
+    assert (
+        read_kilt_examples(kilt_path, matching_status="label").count()
+        == n_title + n_label
+    )
+    with pytest.raises(Exception, match="Unexpected matching status"):
+        read_kilt_examples(kilt_path, matching_status="bogus")
+
+
+def test_projection_matches_reference_loop(ray_session, kilt_path):
+    """The no-ignore projection: trg == answer verbatim."""
+    raw = {str(r["id"]): r for r in _raw(kilt_path)}
+    got = read_kilt_examples(kilt_path, matching_status="title").to_pandas()
+    for row in got.itertuples():
+        assert row.trg == raw[row.doc_id]["output"][0]["answer"]
+
+
+def test_ignore_preserves_original_triple_order(ray_session, tmp_path):
+    """datasets.py:108-122: surviving triples keep their ORIGINAL order
+    in the rebuilt target (not sorted)."""
+    p = tmp_path / "o.jsonl"
+    surface = [["Z", "keep2", "Y"], ["A", "drop", "B"], ["M", "keep1", "N"]]
+    ids = [["Q3", "P3", "Q4"], ["Q1", "P1", "Q2"], ["Q5", "P2", "Q6"]]
+    p.write_text(json.dumps({
+        "id": 1, "input": "x",
+        "output": [{
+            "answer": linearize_triples([tuple(t) for t in surface]),
+            "non_formatted_surface_output": surface,
+            "non_formatted_wikidata_id_output": ids,
+            "instance_matching_status": "title",
+        }],
+        "meta_obj": {},
+    }) + "\n")
+    got = read_kilt_examples(str(p), relations_to_ignore={"drop"}).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["trg"] == linearize_triples([("Z", "keep2", "Y"), ("M", "keep1", "N")])
+    assert [list(x) for x in got.iloc[0]["id_triples"]] == [
+        ["Q3", "P3", "Q4"], ["Q5", "P2", "Q6"]
+    ]
+    # sample emptied by ignore is dropped (datasets.py:263-267)
+    empty = read_kilt_examples(
+        str(p), relations_to_ignore={"drop", "keep1", "keep2"}
+    )
+    assert empty.count() == 0
+
+
+def test_whole_sample_filters_and_complement(ray_session, kilt_path):
+    """M5/M6 whole-sample semantics and the M8 complement over the KILT
+    reader, against a driver-side re-implementation."""
+    raw = _raw(kilt_path)
+
+    def rels(r):
+        return [t[1] for t in r["output"][0]["non_formatted_surface_output"]]
+
+    drop = {"imports", "calls"}
+    want_drop = [r for r in raw if not any(x in drop for x in rels(r))]
+    got = read_kilt_examples(kilt_path, relations_to_drop=drop)
+    assert got.count() == len(want_drop)
+
+    observed = {x for r in raw for x in rels(r)}
+    keep = observed - {"extends", "wraps"}
+    want_keep = [r for r in raw if not any(x not in keep for x in rels(r))]
+    got = read_kilt_examples(kilt_path, relations_to_keep=keep)
+    assert got.count() == len(want_keep)
+
+    # relations_not_to_ignore: ignore = observed - keep; surviving triples
+    # only carry kept relations
+    got = read_kilt_examples(kilt_path, relations_not_to_ignore=keep).to_pandas()
+    for row in got.itertuples():
+        for _s, r, _o in parse_linearization(row.trg):
+            assert r in keep
+    with pytest.raises(AssertionError, match="mutually"):
+        read_kilt_examples(
+            kilt_path, relations_to_ignore={"a"}, relations_not_to_ignore={"b"}
+        )
+
+
+def test_annotation_round_trip(ray_session, kilt_path):
+    """M11: annotating the fixture's ID triples reproduces its answers and
+    instance statuses (allow_labels=True, the results_full world)."""
+    from genie_ray.core.world import World
+    from genie_ray.fixtures import make_catalogs
+    from genie_ray.state.broadcast import put_world
+
+    entities, relations = make_catalogs()
+    world_ref = put_world(World.build(entities, relations))
+    raw = {str(r["id"]): r for r in _raw(kilt_path)}
+    ds = read_kilt(kilt_path).map_batches(
+        lambda t: t.select(["doc_id", "id_triples"]), batch_format="pyarrow"
+    )
+    got = annotate_kilt_examples(ds, world_ref, allow_labels=True).to_pandas()
+    assert len(got) == len(raw)
+    for row in got.itertuples():
+        o = raw[row.doc_id]["output"][0]
+        assert row.instance_matching_status == o["instance_matching_status"], row.doc_id
+        if o["instance_matching_status"] != "no_match":
+            assert row.answer == o["answer"]
+        else:
+            assert row.answer is None
