@@ -63,19 +63,19 @@ def cmd_extract(args) -> dict:
 
 
 def cmd_evaluate(args) -> dict:
-    import ray.data
-
     from .pipelines.evaluate import (
         macro_metrics_distributed,
         micro_metrics_distributed,
     )
+    from .sources.predictions import read_eval_side
 
-    preds = ray.data.read_parquet(args.predictions)
-    targets = ray.data.read_parquet(args.targets)
-    micro = micro_metrics_distributed(preds, targets)
+    micro = micro_metrics_distributed(
+        read_eval_side(args.predictions, "pred"),
+        read_eval_side(args.targets, "target"),
+    )
     macro = macro_metrics_distributed(
-        ray.data.read_parquet(args.predictions),
-        ray.data.read_parquet(args.targets),
+        read_eval_side(args.predictions, "pred"),
+        read_eval_side(args.targets, "target"),
     )
     return {"micro": micro, "macro": macro}
 
@@ -89,11 +89,12 @@ def cmd_results(args) -> dict:
 
     from .pipelines.results import run_full_evaluation, write_results
     from .pipelines.samples import read_relation_set, zero_shot_relation_groups
+    from .sources.predictions import read_eval_side
 
-    preds = ray.data.read_parquet(args.predictions)
-    targets = ray.data.read_parquet(args.targets)
+    preds = read_eval_side(args.predictions, "pred")
+    targets = read_eval_side(args.targets, "target")
     occurrence = (
-        ray.data.read_parquet(args.train_targets) if args.train_targets else None
+        read_eval_side(args.train_targets, "target") if args.train_targets else None
     )
     rel2group = None
     if args.relations_dropped or args.relations_ignored:
@@ -105,7 +106,7 @@ def cmd_results(args) -> dict:
         )
         from .pipelines.evaluate import relation_occurrence
 
-        observed = set(relation_occurrence(ray.data.read_parquet(args.targets)))
+        observed = set(relation_occurrence(read_eval_side(args.targets, "target")))
         rel2group = zero_shot_relation_groups(observed | dropped | ignored, dropped, ignored)
     results = run_full_evaluation(
         preds,

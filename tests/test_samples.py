@@ -181,3 +181,40 @@ def test_results_cli(ray_session, tmp_path):
         obj = json.load(f)
     assert obj["micro"]["f1"] == 1.0
     assert {g["group"] for g in obj["zero_shot"]} >= {"seen", "dropped"}
+
+
+def test_testing_output_reader(ray_session, tmp_path):
+    """M18 DefaultGetter key fallbacks (`evaluation.py:129-174`):
+    guess>prediction, raw_output>target; pre-parsed `triples` rows
+    re-linearize."""
+    from genie_ray.sources.predictions import read_testing_output
+
+    lines = [
+        {"id": 1, "input": "a", "prediction": linearize_triples([("A", "r", "B")]),
+         "target": linearize_triples([("A", "r", "B")])},
+        {"id": 2, "input": "b", "guess": linearize_triples([("C", "r", "D")]),
+         "prediction": "IGNORED", "raw_output": linearize_triples([("C", "r", "E")]),
+         "target": "IGNORED"},
+        {"id": 3, "input": "c", "triples": [["X", "q", "Y"], ["X", "q", "Z"]],
+         "target": linearize_triples([("X", "q", "Y")])},
+    ]
+    p = tmp_path / "testing_output.jsonl"
+    p.write_text("\n".join(json.dumps(x) for x in lines) + "\n")
+    preds, targets = read_testing_output(str(p))
+    pd_ = {r.doc_id: parse_linearization(r.linearization)
+           for r in preds.to_pandas().itertuples()}
+    td_ = {r.doc_id: parse_linearization(r.linearization)
+           for r in targets.to_pandas().itertuples()}
+    assert pd_["2"] == {("C", "r", "D")}       # guess wins over prediction
+    assert td_["2"] == {("C", "r", "E")}       # raw_output wins over target
+    assert pd_["3"] == {("X", "q", "Y"), ("X", "q", "Z")}  # parsed triples
+
+    # the evaluate CLI consumes the reference file directly
+    from genie_ray.run import main
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["evaluate", "--predictions", str(p), "--targets", str(p)])
+    out = json.loads(buf.getvalue())
+    assert out["micro"]["predicted"] == 4 and out["micro"]["target"] == 3
