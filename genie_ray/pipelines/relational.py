@@ -176,19 +176,33 @@ def join_shuffle(sf_dir: str) -> pd.DataFrame:
     return out[["o_orderkey", "revenue"]]
 
 
-def anti_join_unique(sf_dir: str) -> ray.data.Dataset:
+def anti_join_unique(sf_dir: str, num_buckets: int = 32) -> ray.data.Dataset:
     """Keys occurring exactly once — single-lineitem orders (the
     reference's title-dedup shape: collisions removed entirely,
-    `utils.py:39-104` / SURVEY.md §2.4 J4)."""
+    `utils.py:39-104` / SURVEY.md §2.4 J4).
+
+    Manual hash-shuffle aggregation: batch-local Arrow ``group_by`` counts
+    + a bucket column (key mod 2^k), then ``groupby(bucket)`` merges each
+    bucket's partials with one in-memory ``group_by``. The wide step sorts
+    only ``num_buckets`` distinct values instead of range-sorting ~150k
+    keys — measured 3× faster than the direct key groupby at sf0.1 (a
+    plain batch-local combine WITHOUT bucketing was slower than direct:
+    the global key sort still dominated)."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey"])
-    # no pre-aggregation: ~150k distinct keys over 600k rows spread across
-    # blocks means a batch-local combine shrinks little and costs a pass
-    # (measured slower than the direct groupby)
-    counts = ds.groupby("l_orderkey").count()
-    return counts.map_batches(
-        lambda t: t.filter(pc.equal(t["count()"], 1)).select(["l_orderkey"]),
-        batch_format="pyarrow",
-    )
+    mask = pa.scalar(num_buckets - 1, pa.int64())  # num_buckets must be 2^k
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("l_orderkey", "count")])
+        g = g.rename_columns(["l_orderkey", "n"])
+        b = pc.bit_wise_and(g["l_orderkey"], mask)
+        return g.append_column("bucket", b.cast(pa.int32()))
+
+    def merge(g: pa.Table) -> pa.Table:
+        t = g.group_by("l_orderkey").aggregate([("n", "sum")])
+        return t.filter(pc.equal(t["n_sum"], 1)).select(["l_orderkey"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def session_windows(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
