@@ -136,8 +136,19 @@ def _q_kg_graph(sf_dir: str):
     )
 
 
+def _round6f(x: float) -> float:
+    """Half-AWAY-from-zero rounding to 6dp for non-negative metrics —
+    matches DuckDB's round(x, 6) (C++ std::round). Python's built-in round
+    is banker's (half-to-even) and diverges on exact ties: e.g.
+    101/128 = 0.7890625 → 0.789062 (Python) vs 0.789063 (DuckDB), which
+    would break the driver's value-hash comparison."""
+    import math
+
+    return math.floor(x * 10**6 + 0.5) / 10**6
+
+
 def _round6(d: dict) -> dict:
-    return {k: (round(v, 6) if isinstance(v, float) else v) for k, v in d.items()}
+    return {k: (_round6f(v) if isinstance(v, float) else v) for k, v in d.items()}
 
 
 def _q_micro_eval(sf_dir: str):
@@ -188,7 +199,7 @@ def _q_bucket_eval(sf_dir: str):
     occ = relation_occurrence(ray.data.read_parquet(paths["samples"]))
     out = bucket_metrics(per_rel, occ)
     for c in ("precision", "recall", "f1"):
-        out[c] = out[c].round(6)
+        out[c] = out[c].map(_round6f)  # half-away ties, like DuckDB round
     return out
 
 

@@ -27,35 +27,54 @@ _WORD_RE = re.compile(r"\w+")
 
 
 def exact_dedup(
-    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Keep the min-id row per distinct text: hash-partition on a content
-    hash, first-per-group (guide's exact-dedup pattern). Returns
-    (doc_id, n_dups) — the survivor plus its duplicate count."""
+    """Keep the min-id row per distinct text. Returns (doc_id, n_dups) —
+    the survivor plus its duplicate count.
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [
-            hashlib.md5((t or "").encode()).hexdigest()
-            for t in batch[text_col].to_pylist()
-        ]
-        return pa.table(
+    Bucketed two-phase aggregation (the 100-TB shape): each batch combines
+    locally with one Arrow ``group_by`` (min-id + count per content hash)
+    and tags a hash-derived bucket, so the exchange moves one row per
+    (batch × distinct text) and the wide ``groupby`` orders only
+    ``num_buckets`` values — never a global sort over every content hash.
+    Hot buckets stay bounded: after the local combine a hash contributes
+    at most one row per upstream batch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        hashes, buckets = [], []
+        for t in texts:
+            h = hashlib.md5((t or "").encode()).hexdigest()
+            hashes.append(h)
+            buckets.append(int(h[:8], 16) % num_buckets)
+        t = pa.table(
             {
-                id_col: batch[id_col],
                 "content_hash": pa.array(hashes, pa.string()),
+                "bucket": pa.array(buckets, pa.int32()),
+                id_col: batch[id_col],
             }
         )
+        g = t.group_by(["content_hash", "bucket"]).aggregate(
+            [(id_col, "min"), (id_col, "count")]
+        )
+        return g.rename_columns(["content_hash", "bucket", "min_id", "n"])
 
-    def keep_first(g: pa.Table) -> pa.Table:
-        ids = sorted(g[id_col].to_pylist())
+    def merge(g: pa.Table) -> pa.Table:
+        t = g.group_by("content_hash").aggregate(
+            [("min_id", "min"), ("n", "sum")]
+        )
         return pa.table(
             {
-                id_col: pa.array([ids[0]], g[id_col].type),
-                "n_dups": pa.array([len(ids)], pa.int64()),
+                id_col: t["min_id_min"],
+                "n_dups": t["n_sum"],
             }
         )
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pyarrow")
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 
 # -- shingling / minhash -----------------------------------------------------

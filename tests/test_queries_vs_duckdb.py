@@ -58,7 +58,9 @@ def test_query_matches_oracle(ray_session, con, name):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # check_exact: the driver compares via value HASHES — bit-exact floats
+    # required (caught a banker's-vs-half-away rounding divergence once)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
