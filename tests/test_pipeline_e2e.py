@@ -232,3 +232,97 @@ def test_graph_buckets_invalidated_on_config_change(setup, tmp_path):
     assert g1.select(["subj_id", "pred_id", "obj_id", "support"]).equals(
         g2.select(["subj_id", "pred_id", "obj_id", "support"])
     )
+
+
+def test_worker_crash_retry_reproduces_output(setup, tmp_path):
+    """Fault injection: a worker process dies (os._exit) while processing
+    a batch mid-pipeline; Ray retries the task and the run completes with
+    output BYTE-IDENTICAL to an uninjected run — the determinism-under-
+    retries contract (SURVEY §7.4: per-doc seeds, no worker RNG state)."""
+    import glob
+
+    from genie_ray.state.broadcast import put_world
+
+    world, docs, input_path, root = setup
+    world_ref = put_world(world)
+    cfg = KGConfig(num_partitions=8, num_buckets=4, concurrency=2, batch_size=16)
+
+    clean_dir = str(tmp_path / "clean")
+    extract_to_triples(input_path, clean_dir, world_ref, cfg).materialize()
+
+    flag = str(tmp_path / "poison_fired")
+
+    def poison(batch, flag_path=flag):
+        # kill the FIRST worker process that sees a batch, exactly once
+        # (flag file is cross-process); retried task finds the flag set
+        if not os.path.exists(flag_path):
+            try:
+                with open(flag_path, "x") as f:
+                    f.write("fired")
+            except FileExistsError:
+                return batch
+            os._exit(1)  # hard worker death, no cleanup
+        return batch
+
+    from genie_ray.pipelines import kg as kgmod
+    from genie_ray.sources.documents import prepare_documents, read_documents
+
+    # same pipeline as extract_to_triples but with the poison map injected
+    # after prepare (stateless task stage → Ray task retry path)
+    import pyarrow.compute as _pc
+
+    from genie_ray.stages.canonicalize import canonicalize_batch
+    from genie_ray.stages.extract import ExtractTriples
+    from genie_ray.stages.parse import parse_predictions_batch
+
+    crash_dir = str(tmp_path / "crash")
+    ds = read_documents(input_path, override_num_blocks=16)
+    ds = prepare_documents(ds, num_partitions=cfg.num_partitions)
+    ds = ds.map_batches(poison, batch_format="pyarrow")
+    gens = ds.map_batches(
+        ExtractTriples,
+        fn_constructor_kwargs={"world_ref": world_ref},
+        batch_format="pyarrow", batch_size=cfg.batch_size,
+        concurrency=cfg.concurrency,
+    )
+    triples = gens.map_batches(parse_predictions_batch, batch_format="pyarrow")
+    canon = triples.map_batches(
+        canonicalize_batch, fn_kwargs={"world_ref": world_ref},
+        batch_format="pyarrow",
+    )
+    # reuse stage A's partition writer via the public pipeline: write rows
+    # grouped by part exactly as extract_to_triples does
+    from genie_ray.state import lineage as L
+
+    def write_parts(batch):
+        out_part, out_rows = [], []
+        for part in set(batch["part"].to_pylist()):
+            group = batch.filter(_pc.equal(batch["part"], part))
+            data = group.filter(_pc.is_valid(group["subj"])).sort_by(
+                [(c, "ascending") for c in ("doc_id", "subj", "pred", "obj")]
+            )
+            L.write_partition(
+                data.select(
+                    ["doc_id", "subj", "pred", "obj",
+                     "subj_id", "pred_id", "obj_id", "matched", "match_status"]
+                ),
+                crash_dir, int(part),
+            )
+            out_part.append(int(part))
+            out_rows.append(data.num_rows)
+        import pyarrow as _pa
+
+        return _pa.table({"part": _pa.array(out_part, _pa.int32()),
+                          "num_rows": _pa.array(out_rows, _pa.int64())})
+
+    canon.groupby("part").map_groups(write_parts, batch_format="pyarrow").materialize()
+
+    assert os.path.exists(flag), "poison never fired — test is vacuous"
+    f_clean = sorted(glob.glob(os.path.join(clean_dir, "*.parquet")))
+    f_crash = sorted(glob.glob(os.path.join(crash_dir, "*.parquet")))
+    assert [os.path.basename(f) for f in f_clean] == [
+        os.path.basename(f) for f in f_crash
+    ]
+    for a, b in zip(f_clean, f_crash):
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), f"{a} differs after crash-retry"
