@@ -190,7 +190,11 @@ def fingerprints(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datas
     )
 
 
-def lang_id(ds: ray.data.Dataset, text_col: str = "text", concurrency: int = 2) -> ray.data.Dataset:
+def lang_id(ds: ray.data.Dataset, text_col: str = "text", concurrency=(2, 6)) -> ray.data.Dataset:
+    # scoring is ~2 ms/doc of pure Python: the pool, not the read, is the
+    # bottleneck. Autoscaling (min 2, max 6): a fixed pool larger than the
+    # node's CPUs would never schedule (observed deadlock at num_cpus=4),
+    # while min=2 schedules on small nodes and grows to eat idle CPUs.
     return ds.map_batches(
         LangId,
         fn_constructor_kwargs={"text_col": text_col},
