@@ -126,7 +126,9 @@ def join_enrich(sf_dir: str) -> ray.data.Dataset:
     via ray.put as ARROW ARRAYS, probed per batch with vectorized
     ``pc.index_in`` + ``pc.take`` (no per-row Python; reference id-keyed
     join semantics, `evaluation.py:96-126`; broadcast strategy per
-    SURVEY.md §2.4 J1)."""
+    SURVEY.md §2.4 J1). This query DEMONSTRATES the broadcast pattern;
+    above broadcast size the same join runs through the native hash join —
+    see ``q5_region_revenue``, which routes customer exactly that way."""
     cust = _to_arrow(
         _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
     )
