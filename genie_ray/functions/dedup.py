@@ -274,63 +274,86 @@ def verify_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    num_partitions: int = 8,
 ) -> ray.data.Dataset:
     """Distributed exact-Jaccard verification of LSH candidate pairs.
 
-    Nothing corpus-sized touches the driver: only the candidate-ID SET is
-    collected and broadcast (used to prune the docs scan — candidate ids
-    are a vanishing fraction of the corpus by LSH design). The pair table
-    and the shingle sets stay distributed:
+    Nothing corpus-sized touches the driver: the pair table stays
+    distributed end-to-end, and only the DISTINCT candidate-ID column
+    (#candidate docs ≤ #pairs×2, a vanishing fraction of the corpus by
+    LSH design) is reduced distributedly and then collected to build the
+    docs-scan pruning set:
 
-        candidates → distinct pairs (groupby)        # dedup across bands
+        candidates → groupby(id_a, id_b)             # global pair dedup
+        pairs → distinct ids (batch-local dedup → ``Dataset.unique``)
         docs ⋉ candidate-ids → per-doc shingle-hash arrays
-        pairs exploded to (doc_id, pair) rows
-        ∪ shingle rows → groupby(doc_id)             # attach each side's set
-        → groupby(pair) → exact Jaccard ≥ threshold
+        pairs ⋈ shingles on id_a, then on id_b       # native hash joins
+        → one vectorized batch pass: exact Jaccard ≥ threshold
 
-    Shingle sets are 64-bit hashes (`_shingle_hashes`), so the volume per
-    candidate doc is ~8 bytes/shingle regardless of text size. Returns a
-    Dataset of (id_a, id_b, jaccard)."""
+    No per-group Python anywhere: pair dedup is a native groupby, the
+    shingle sets ride Ray's hash join as ``list<int64>`` columns, and the
+    final pass does one ``np.intersect1d`` per pair (real O(|set|) work,
+    not bookkeeping). Shingle sets are 64-bit hashes (`_shingle_hashes`),
+    so the volume per candidate doc is ~8 bytes/shingle regardless of
+    text size. Returns a Dataset of (id_a, id_b, jaccard)."""
     import ray
 
     sch = docs.schema()
     id_type = dict(zip(sch.names, sch.types))[id_col]
 
-    def local_dedup(t: pa.Table) -> pa.Table:
-        seen = set()
-        a_, b_ = [], []
-        for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
-            if (a, b) not in seen:
-                seen.add((a, b))
-                a_.append(a)
-                b_.append(b)
-        return pa.table(
-            {"id_a": pa.array(a_, id_type), "id_b": pa.array(b_, id_type)}
-        )
-
-    # materialize ONCE: the pair table is tiny (LSH output) but feeds two
-    # consumers below — without this the whole signatures+LSH chain would
-    # re-execute per consumer (measured 3-4x the verify cost). Batch-local
-    # dedup only; global dedup happens inside the final pair group (cheaper
-    # than a dedicated distinct shuffle).
-    pairs = candidates.map_batches(
-        local_dedup, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-
-    # candidate-ID SET → driver (ids only, a vanishing fraction of the
-    # corpus by LSH design) → broadcast as the docs-scan pruning filter
-    ids_df = pairs.to_pandas()
-    need = set(ids_df["id_a"]) | set(ids_df["id_b"])
-    if not need:
+    def empty_out():
         return ray.data.from_arrow(
             pa.table(
                 {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
                  "jaccard": pa.array([], pa.float64())}
             )
         )
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        return t.select(["id_a", "id_b"]).group_by(["id_a", "id_b"]).aggregate([])
+
+    # materialize ONCE: the pair table is tiny (LSH output) but feeds two
+    # consumers below (id-set derivation + the joins) — without this the
+    # whole signatures+LSH chain would re-execute per consumer (measured
+    # 3-4x the verify cost). Batch-local combine, then a global distinct
+    # groupby so cross-band duplicates verify once.
+    pairs = (
+        candidates.map_batches(
+            local_dedup, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["id_a", "id_b"])
+        .count()  # native distinct: vectorized sort-shuffle, no per-group fn
+        .map_batches(
+            lambda t: t.select(["id_a", "id_b"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+
+    # DISTINCT candidate ids, reduced distributedly (batch-local dedup +
+    # Dataset.unique's groupby); only the final distinct list reaches the
+    # driver — never the pair table
+    def id_column(t: pa.Table) -> pa.Table:
+        both = pa.chunked_array(
+            list(t["id_a"].chunks) + list(t["id_b"].chunks), type=id_type
+        )
+        return pa.table({"cid": both}).group_by("cid").aggregate([])
+
+    need = set(
+        pairs.map_batches(
+            id_column, batch_format="pyarrow", zero_copy_batch=True
+        ).unique("cid")
+    )
+    if not need:
+        return empty_out()
     need_ref = ray.put(need)
 
-    def shingle_rows(batch: pa.Table) -> pa.Table:
+    def shingle_rows(batch: pa.Table, side_col: str) -> pa.Table:
+        """(id, shingle set) rows for one join side. The set rides as a
+        BINARY blob (raw little-endian uint64 array bytes — Arrow's hash
+        join rejects list<> payload columns but carries binary fine;
+        identical ~8 bytes/shingle volume)."""
         needed = ray.get(need_ref)
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
@@ -338,90 +361,50 @@ def verify_jaccard_pairs(
         for i, t in zip(ids, texts):
             if i in needed:
                 o_id.append(i)
-                o_h.append(
-                    _shingle_hashes(t, shingle_k).astype(np.int64).tolist()
-                )
-        n = len(o_id)
+                o_h.append(_shingle_hashes(t, shingle_k).tobytes())
         return pa.table(
             {
-                "join_key": pa.array(o_id, id_type),
-                "pair_key": pa.array([None] * n, pa.string()),
-                "id_a": pa.array([None] * n, id_type),
-                "id_b": pa.array([None] * n, id_type),
-                "hashes": pa.array(o_h, pa.list_(pa.int64())),
+                side_col: pa.array(o_id, id_type),
+                f"hashes{side_col[2:]}": pa.array(o_h, pa.binary()),
             }
         )
 
-    def pair_rows(t: pa.Table) -> pa.Table:
-        a = t["id_a"].to_pylist()
-        b = t["id_b"].to_pylist()
-        keys = [f"{x}{_PAIR_SEP}{y}" for x, y in zip(a, b)]
-        return pa.table(
-            {
-                "join_key": pa.array(a + b, id_type),
-                "pair_key": pa.array(keys + keys, pa.string()),
-                "id_a": pa.array(a + a, id_type),
-                "id_b": pa.array(b + b, id_type),
-                "hashes": pa.array([None] * (2 * len(a)), pa.list_(pa.int64())),
-            }
-        )
-
-    tagged = docs.map_batches(shingle_rows, batch_format="pyarrow").union(
-        pairs.map_batches(pair_rows, batch_format="pyarrow")
+    join_args = {
+        "num_partitions": num_partitions,
+        "aggregator_ray_remote_args": {"num_cpus": 0.25},
+    }
+    # pairs ⋈ shingles twice (id_a, then id_b): side tables carry the join
+    # key under the pair column's name, so no suffix collisions. The
+    # materialize() between the joins is the two-live-hash-joins deadlock
+    # guard (see q5_region_revenue) — a join is a shuffle barrier anyway.
+    sh_a = docs.map_batches(
+        shingle_rows, fn_kwargs={"side_col": "id_a"}, batch_format="pyarrow"
     )
+    sh_b = docs.map_batches(
+        shingle_rows, fn_kwargs={"side_col": "id_b"}, batch_format="pyarrow"
+    )
+    with_a = pairs.join(sh_a, "inner", on=("id_a",), **join_args).materialize()
+    both = with_a.join(sh_b, "inner", on=("id_b",), **join_args)
 
-    def attach(g: pa.Table) -> pa.Table:
-        """One doc's group: its shingle row + every pair row touching it —
-        emit (pair_key, id_a, id_b, doc, hashes) rows carrying the doc's
-        shingle set to the pair group."""
-        doc = g["join_key"][0].as_py()
-        hashes = None
-        for pk, h in zip(g["pair_key"].to_pylist(), g["hashes"].to_pylist()):
-            if pk is None:
-                hashes = h
-        o_pk, o_a, o_b = [], [], []
-        for pk, a, b in zip(
-            g["pair_key"].to_pylist(), g["id_a"].to_pylist(), g["id_b"].to_pylist()
+    def judge(t: pa.Table) -> pa.Table:
+        a = t["id_a"]
+        b = t["id_b"]
+        jacc = np.empty(t.num_rows, dtype=np.float64)
+        for i, (ha, hb) in enumerate(
+            zip(t["hashes_a"].to_pylist(), t["hashes_b"].to_pylist())
         ):
-            if pk is not None:
-                o_pk.append(pk)
-                o_a.append(a)
-                o_b.append(b)
-        return pa.table(
-            {
-                "pair_key": pa.array(o_pk, pa.string()),
-                "id_a": pa.array(o_a, id_type),
-                "id_b": pa.array(o_b, id_type),
-                "doc": pa.array([doc] * len(o_pk), id_type),
-                "hashes": pa.array([hashes or []] * len(o_pk), pa.list_(pa.int64())),
-            }
+            sa = np.frombuffer(ha or b"", dtype=np.uint64)
+            sb = np.frombuffer(hb or b"", dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jacc[i] = (inter / union) if union else 0.0
+        keep = jacc >= threshold
+        out = pa.table(
+            {"id_a": a, "id_b": b, "jaccard": pa.array(jacc, pa.float64())}
         )
+        return out.filter(pa.array(keep))
 
-    sides = tagged.groupby("join_key").map_groups(attach, batch_format="pyarrow")
-
-    def judge(g: pa.Table) -> pa.Table:
-        # duplicate pair rows (cross-band) collapse here: doc → hashes
-        by_doc = dict(zip(g["doc"].to_pylist(), g["hashes"].to_pylist()))
-        a = g["id_a"][0].as_py()
-        b = g["id_b"][0].as_py()
-        sa = set(by_doc.get(a) or [])
-        sb = set(by_doc.get(b) or [])
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 0.0
-        if j < threshold:
-            return pa.table(
-                {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
-                 "jaccard": pa.array([], pa.float64())}
-            )
-        return pa.table(
-            {
-                "id_a": pa.array([a], id_type),
-                "id_b": pa.array([b], id_type),
-                "jaccard": pa.array([j], pa.float64()),
-            }
-        )
-
-    return sides.groupby("pair_key").map_groups(judge, batch_format="pyarrow")
+    return both.map_batches(judge, batch_format="pyarrow")
 
 
 # -- simhash -----------------------------------------------------------------

@@ -115,6 +115,47 @@ def brute_force_topk(
 # -- IVF (scale path) --------------------------------------------------------
 
 
+def spread_sample(
+    ds: ray.data.Dataset,
+    sample_size: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> pa.Table:
+    """Bounded, deterministic, corpus-SPREAD sample without a ``count()``
+    pre-pass: the global bottom-``sample_size`` rows by a stable 64-bit
+    hash of the id (polars xxhash — cross-process stable for a fixed
+    version/seed). Per-batch local bottom-k, then one tiny merge — uniform
+    over the corpus regardless of storage order, unlike ``limit(n)`` which
+    reads only the head blocks (clustered/sorted storage would feed
+    centroids from one corner of the distribution)."""
+    import polars as pl
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, vec_col])
+        if t.num_rows == 0:
+            return t.append_column("_h", pa.array([], pa.int64()))
+        h = np.asarray(
+            pl.from_arrow(t[id_col]).hash(seed=seed).to_numpy(), dtype=np.uint64
+        )
+        if t.num_rows > sample_size:
+            idx = np.argpartition(h, sample_size - 1)[:sample_size]
+        else:
+            idx = np.arange(t.num_rows)
+        out = t.take(pa.array(idx, pa.int64()))
+        return out.append_column("_h", pa.array(h[idx].view(np.int64)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("_h", "ascending"), (id_col, "ascending")])
+        return t.slice(0, sample_size).drop_columns(["_h"])
+
+    partials = ds.map_batches(local, batch_format="pyarrow")
+    merged = partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+    return pa.concat_tables(ray.get(merged.to_arrow_refs())).combine_chunks()
+
+
 def kmeans_centroids(
     sample: np.ndarray, num_centroids: int, iters: int = 10, seed: int = 42
 ) -> np.ndarray:
@@ -187,12 +228,17 @@ def ivf_topk(
     """Approximate top-k: centroids from a deterministic sample, each query
     probes its ``nprobe`` nearest centroid partitions. Recall < 1.0 by
     design; tested against the brute-force baseline."""
-    # bounded deterministic sample WITHOUT a full count() pre-pass:
-    # limit(n) reads only the blocks it needs and the centroid quality is
-    # insensitive to which bounded subset seeds it (k-means over a corpus
-    # slice; the seed fixes the rest)
-    sample = pd.DataFrame(ds.limit(sample_size).take_all())
-    cents = kmeans_centroids(np.stack(sample[vec_col].to_numpy()), num_centroids, seed=seed)
+    # bounded deterministic sample WITHOUT a full count() pre-pass, spread
+    # uniformly over the corpus by id-hash (see spread_sample — limit(n)
+    # would read only head blocks and bias centroids on clustered storage)
+    sample = spread_sample(
+        ds, sample_size, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    cents = kmeans_centroids(
+        np.asarray(sample[vec_col].to_pylist(), dtype=np.float64),
+        num_centroids,
+        seed=seed,
+    )
     qmat = _unit(np.asarray(query_mat, dtype=np.float64))
     probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
     state_ref = ray.put((np.asarray(query_ids), qmat, cents, probe))

@@ -84,32 +84,83 @@ def parse_sides(
     return p.union(t)
 
 
-def per_doc_counters(tagged: ray.data.Dataset) -> ray.data.Dataset:
-    """groupby(doc_id) co-group → one (doc_id, correct, predicted, target)
-    row per document (G4, `triplet_set_f1.py:14-20`)."""
+def _tag_count_batch(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Vectorized pre-shuffle pass: side flags as int columns + a stable
+    hash bucket of ``doc_id`` so ALL of one document's rows (both sides)
+    co-locate in one bucket group. Marker rows (null subj — the doc exists
+    with an empty set) keep the doc present with zero counts."""
+    import polars as pl
 
-    def count_group(g: pa.Table) -> pa.Table:
-        did = g["doc_id"][0].as_py()
-        pred, targ = set(), set()
-        for s, r, o, side in zip(
-            g["subj"].to_pylist(),
-            g["rel"].to_pylist(),
-            g["obj"].to_pylist(),
-            g["side"].to_pylist(),
-        ):
-            if s is None:
-                continue
-            (pred if side == "pred" else targ).add((s, r, o))
-        return pa.table(
+    valid = pa.compute.is_valid(batch["subj"])
+    is_pred = pa.compute.cast(
+        pa.compute.and_(valid, pa.compute.equal(batch["side"], "pred")), pa.int64()
+    )
+    is_targ = pa.compute.cast(
+        pa.compute.and_(valid, pa.compute.equal(batch["side"], "target")), pa.int64()
+    )
+    bucket = (
+        (pl.from_arrow(batch["doc_id"]).hash(seed=0) % num_buckets)
+        .cast(pl.Int32)
+        .to_arrow()
+    )
+    return pa.table(
+        {
+            "bucket": bucket,
+            "doc_id": batch["doc_id"],
+            "subj": batch["subj"],
+            "rel": batch["rel"],
+            "obj": batch["obj"],
+            "is_pred": is_pred,
+            "is_targ": is_targ,
+        }
+    )
+
+
+def _quad_counts_arrow(g: pa.Table):
+    """One vectorized Arrow ``group_by`` over the full quad key: per
+    distinct (doc, s, r, o), whether each side saw it — the set-semantics
+    intersection without any per-group Python (each (doc, quad, side) row
+    is already distinct because the parser emits per-doc SETS)."""
+    quad = g.group_by(["doc_id", "subj", "rel", "obj"]).aggregate(
+        [("is_pred", "sum"), ("is_targ", "sum")]
+    )
+    one = pa.scalar(1, pa.int64())
+    p1 = pa.compute.min_element_wise(quad["is_pred_sum"], one)
+    t1 = pa.compute.min_element_wise(quad["is_targ_sum"], one)
+    return quad, p1, t1, pa.compute.multiply(p1, t1)
+
+
+def per_doc_counters(
+    tagged: ray.data.Dataset, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """One (doc_id, correct, predicted, target) row per document (G4,
+    `triplet_set_f1.py:14-20`). Bucketed two-phase shape: the wide shuffle
+    orders ``num_buckets`` keys, and within each bucket the quad- and
+    doc-level rollups are single Arrow ``group_by`` calls — no one-row
+    Python tables per document (the 100-TB form of torchmetrics'
+    ``dist_reduce_fx="sum"``)."""
+
+    def merge(g: pa.Table) -> pa.Table:
+        quad, p1, t1, corr = _quad_counts_arrow(g)
+        doc = pa.table(
             {
-                "doc_id": pa.array([did], pa.string()),
-                "correct": pa.array([len(pred & targ)], pa.int64()),
-                "predicted": pa.array([len(pred)], pa.int64()),
-                "target": pa.array([len(targ)], pa.int64()),
+                "doc_id": quad["doc_id"],
+                "correct": corr,
+                "predicted": p1,
+                "target": t1,
             }
         )
+        out = doc.group_by("doc_id").aggregate(
+            [("correct", "sum"), ("predicted", "sum"), ("target", "sum")]
+        )
+        return out.rename_columns(["doc_id", "correct", "predicted", "target"])
 
-    return tagged.groupby("doc_id").map_groups(count_group, batch_format="pyarrow")
+    counted = tagged.map_batches(
+        _tag_count_batch,
+        fn_kwargs={"num_buckets": num_buckets},
+        batch_format="pyarrow",
+    )
+    return counted.groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def micro_metrics_distributed(
@@ -124,34 +175,40 @@ def micro_metrics_distributed(
     return c.as_dict()
 
 
-def per_relation_counters(tagged: ray.data.Dataset) -> pd.DataFrame:
-    """G5 support: co-group exploded triples on the full quad key, emit
-    per-relation partial counts, sum by relation. Returns the small
-    (#relations) pandas frame: rel, correct, predicted, target."""
+def per_relation_counters(
+    tagged: ray.data.Dataset, num_buckets: int = 64
+) -> pd.DataFrame:
+    """G5 support: per-relation (correct, predicted, target) counts over
+    distinct quads. Same bucketed shape as ``per_doc_counters`` (the
+    doc-hash bucket co-locates every quad's two sides); within each bucket
+    one Arrow ``group_by`` computes quad counts and a second pre-pivots
+    them per relation, so the final shuffle moves ``num_buckets ×
+    #relations`` partial rows — never one Python table per distinct
+    triple. Returns the small (#relations) pandas frame."""
 
-    def quad_counts(g: pa.Table) -> pa.Table:
-        rel = g["rel"][0].as_py()
-        sides = set(g["side"].to_pylist())
-        both = "pred" in sides and "target" in sides
-        return pa.table(
+    def merge(g: pa.Table) -> pa.Table:
+        quad, p1, t1, corr = _quad_counts_arrow(g)
+        relq = pa.table(
             {
-                "rel": pa.array([rel], pa.string()),
-                "correct": pa.array([1 if both else 0], pa.int64()),
-                "predicted": pa.array([1 if "pred" in sides else 0], pa.int64()),
-                "target": pa.array([1 if "target" in sides else 0], pa.int64()),
+                "rel": quad["rel"],
+                "correct": corr,
+                "predicted": p1,
+                "target": t1,
             }
+        ).filter(pa.compute.is_valid(quad["rel"]))  # drop empty-set markers
+        out = relq.group_by("rel").aggregate(
+            [("correct", "sum"), ("predicted", "sum"), ("target", "sum")]
         )
+        return out.rename_columns(["rel", "correct", "predicted", "target"])
 
-    triples = tagged.map_batches(
-        lambda t: t.filter(pa.compute.is_valid(t["subj"])),
+    counted = tagged.map_batches(
+        _tag_count_batch,
+        fn_kwargs={"num_buckets": num_buckets},
         batch_format="pyarrow",
-        zero_copy_batch=True,
     )
-    quads = triples.groupby(["doc_id", "subj", "rel", "obj"]).map_groups(
-        quad_counts, batch_format="pyarrow"
-    )
+    partials = counted.groupby("bucket").map_groups(merge, batch_format="pyarrow")
     per_rel = (
-        quads.groupby("rel")
+        partials.groupby("rel")
         .sum(["correct", "predicted", "target"])
         .to_pandas()
         .rename(

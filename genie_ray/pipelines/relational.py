@@ -241,7 +241,9 @@ def session_windows(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     return out[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
 
 
-def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
+def q5_region_revenue(
+    sf_dir: str, supplier_broadcast_limit: int = 2_000_000
+) -> pd.DataFrame:
     """TPC-H-Q5-shaped multi-join: revenue per nation of one region over a
     date window. Plan: every FACT-SCALED table goes through Ray's native
     hash join — orders ⋈ CUSTOMER (customer is 150k×sf rows, far too big
@@ -261,16 +263,18 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
         preserve_index=False,
     ).combine_chunks()
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    # supplier is 10k×sf: broadcast below the threshold, native join above
-    if supp.count() <= 2_000_000:
+    # supplier is 10k×sf: broadcast below the threshold, native hash join
+    # above it (same plan shape as the customer side — supplier becomes a
+    # third join stage instead of a plasma dict)
+    supplier_join = supp.count() > supplier_broadcast_limit
+    if supplier_join:
+        supp_tab = None
+        dims_ref = ray.put((nat["n_nationkey"], nat["n_name"], None, None))
+    else:
         supp_tab = _to_arrow(supp)
-    else:  # pragma: no cover - exercised only at cluster scale
-        raise NotImplementedError(
-            "route supplier through ds.join like customer at this scale"
+        dims_ref = ray.put(
+            (nat["n_nationkey"], nat["n_name"], supp_tab["s_suppkey"], supp_tab["s_nationkey"])
         )
-    dims_ref = ray.put(
-        (nat["n_nationkey"], nat["n_name"], supp_tab["s_suppkey"], supp_tab["s_nationkey"])
-    )
 
     lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
     hi = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
@@ -310,6 +314,13 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
         items, join_type="inner", num_partitions=8,
         on=("o_orderkey",), right_on=("l_orderkey",), **join_args,
     )
+    if supplier_join:
+        # big-side supplier: third native hash join on suppkey (barrier
+        # between live joins, same deadlock guard as above)
+        joined = joined.materialize().join(
+            supp, join_type="inner", num_partitions=8,
+            on=("l_suppkey",), right_on=("s_suppkey",), **join_args,
+        )
 
     # STATELESS task-based dim apply (per-process broadcast cache, the
     # canonicalize_batch pattern): an actor pool here would RESERVE CPUs
@@ -319,13 +330,19 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
     def dim_apply(t: pa.Table, dims_ref=dims_ref) -> pa.Table:
         dims = _DIM_CACHE.get(dims_ref.hex())
         if dims is None:
+            # only one dims tuple is live per query — keep the cache at
+            # one entry so long-lived workers don't pin stale broadcasts
+            _DIM_CACHE.clear()
             dims = _DIM_CACHE[dims_ref.hex()] = ray.get(dims_ref)
         nat_keys, nat_names, supp_keys, supp_nations = dims
         # Q5 semantics: customer and supplier in the SAME nation, and
         # that nation inside the region — all vectorized
-        s_nation = pc.take(
-            supp_nations, pc.index_in(t["l_suppkey"], value_set=supp_keys)
-        )
+        if supp_keys is None:  # supplier arrived via the hash join
+            s_nation = t["s_nationkey"]
+        else:
+            s_nation = pc.take(
+                supp_nations, pc.index_in(t["l_suppkey"], value_set=supp_keys)
+            )
         nat_idx = pc.index_in(t["c_nationkey"], value_set=nat_keys)
         keep = pc.and_(pc.equal(t["c_nationkey"], s_nation), pc.is_valid(nat_idx))
         rev = pc.multiply(

@@ -41,8 +41,21 @@ def _parse(batch: pa.Table, side: str) -> pa.Table:
         else:
             if "raw_output" in obj:
                 o_lin.append(obj["raw_output"])
-            else:
+            elif "target" in obj:
                 o_lin.append(obj["target"])
+            elif "triples" in obj:
+                # pipeline-baseline rows ({id, triples} only): the target
+                # side re-linearizes the parsed triples, mirroring the
+                # pred side (`evaluation.py:96-126`)
+                o_lin.append(
+                    linearize_triples([tuple(t) for t in obj["triples"]])
+                )
+            else:
+                raise ValueError(
+                    "testing-output row for doc "
+                    f"{obj.get('id')!r} has none of raw_output/target/"
+                    f"triples (keys: {sorted(obj)})"
+                )
     return pa.table(
         {
             "doc_id": pa.array(o_id, pa.string()),

@@ -107,94 +107,102 @@ def catalog_table(catalog, kind: str) -> "pa.Table":
     )
 
 
+def _catalog_side(catalog, kind: str, key_col: str, id_name: str, prov_name: str):
+    """Project the (kind, surface, cid, provenance) catalog Dataset into a
+    role-specific join side: (key_col, id_name, prov_name) rows of one kind."""
+    import pyarrow.compute as pc
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], kind))
+        return pa.table(
+            {
+                key_col: t["surface"],
+                id_name: t["cid"],
+                prov_name: t["provenance"],
+            }
+        )
+
+    return catalog.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _finalize_canonical(t: pa.Table) -> pa.Table:
+    """Vectorized match/status derivation after the three role joins —
+    `no_match` if any element missed; `label` if any element matched via
+    en_label; else `title` (`triplet_utils.py:59-66`)."""
+    import pyarrow.compute as pc
+
+    ok = pc.and_(
+        pc.and_(pc.is_valid(t["subj_id"]), pc.is_valid(t["pred_id"])),
+        pc.is_valid(t["obj_id"]),
+    )
+    any_label = pc.fill_null(pc.equal(t["_subj_prov"], EN_LABEL), False)
+    for c in ("_pred_prov", "_obj_prov"):
+        any_label = pc.or_(any_label, pc.fill_null(pc.equal(t[c], EN_LABEL), False))
+    status = pc.if_else(
+        ok,
+        pc.if_else(
+            any_label, pa.scalar(STATUS_LABEL), pa.scalar(STATUS_TITLE)
+        ),
+        pa.scalar(STATUS_NO_MATCH),
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "subj": t["subj"],
+            "pred": t["pred"],
+            "obj": t["obj"],
+            "subj_id": t["subj_id"],
+            "pred_id": t["pred_id"],
+            "obj_id": t["obj_id"],
+            "matched": ok,
+            "match_status": status,
+        }
+    )
+
+
 def canonicalize_via_join(
     triples,
     catalog,
     num_partitions: int = 16,
 ):
-    """Surface→ID canonicalization as a distributed hash-partition JOIN —
+    """Surface→ID canonicalization as distributed hash-partition JOINs —
     the documented J1/J2 alternative for catalogs too large to broadcast
     (SURVEY.md §2.4: "hash-partition join on id"; the broadcast path in
     ``CanonicalizeTriples`` assumes the catalog fits plasma once per node).
 
     Same output contract and provenance semantics as the broadcast path
-    (conformance-tested equal):
-
-        triples (doc_id, subj, pred, obj)
-          → explode to one lookup row per element (role ∈ s/r/o,
-            kind ∈ e/r keyed with the surface)
-          → LEFT OUTER hash join with the catalog on (kind, surface)
-          → groupby(quad) reassembly: ids + matched + match_status
-            (`no_match` if any element missed; `label` if any matched via
-            en_label; else `title` — `triplet_utils.py:59-66`)
+    (conformance-tested equal): three chained LEFT OUTER hash joins, one
+    per triple element (subj ⋈ entities, pred ⋈ relations, obj ⋈
+    entities), then one vectorized Arrow pass deriving ``matched`` and
+    ``match_status`` — no per-group Python anywhere (the earlier
+    ``groupby(quad).map_groups`` reassembly built one Python table per
+    triple: billions of single-row tables at corpus scale).
 
     ``catalog``: a Dataset of (kind, surface, cid, provenance) rows — build
     with ``catalog_table(entities, "e") + catalog_table(relations, "r")``.
-    The join shuffles triples by surface hash; skew on hyper-common
-    surfaces is bounded because each (kind, surface) key matches exactly
-    one catalog row (title-deduped), so a hot key only concentrates probe
-    rows, never a product."""
-    import ray.data  # noqa: F401  (type context)
+    Each join shuffles the triple table by one surface hash; skew on
+    hyper-common surfaces is bounded because each (kind, surface) key
+    matches exactly one catalog row (title-deduped), so a hot key only
+    concentrates probe rows, never a product. Row cardinality is preserved
+    exactly (1:1 joins) — callers feed per-doc-deduped quads, which stay
+    distinct.
 
-    def explode(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        doc = t["doc_id"].to_pylist() * 3
-        subj = t["subj"].to_pylist() * 3
-        pred = t["pred"].to_pylist() * 3
-        obj = t["obj"].to_pylist() * 3
-        role = [0] * n + [1] * n + [2] * n
-        kind = ["e"] * n + ["r"] * n + ["e"] * n
-        surface = t["subj"].to_pylist() + t["pred"].to_pylist() + t["obj"].to_pylist()
-        return pa.table(
-            {
-                "doc_id": pa.array(doc, pa.string()),
-                "subj": pa.array(subj, pa.string()),
-                "pred": pa.array(pred, pa.string()),
-                "obj": pa.array(obj, pa.string()),
-                "role": pa.array(role, pa.int8()),
-                "kind": pa.array(kind, pa.string()),
-                "surface": pa.array(surface, pa.string()),
-            }
-        )
-
-    lookups = triples.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    joined = lookups.join(
-        catalog,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=("kind", "surface"),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
-    )
-
-    def assemble(g: pa.Table) -> pa.Table:
-        ids = {0: None, 1: None, 2: None}
-        provs = {0: None, 1: None, 2: None}
-        for role, cid, prov in zip(
-            g["role"].to_pylist(), g["cid"].to_pylist(), g["provenance"].to_pylist()
-        ):
-            ids[role] = cid
-            provs[role] = prov
-        ok = all(ids[r] is not None for r in (0, 1, 2))
-        if not ok:
-            status = STATUS_NO_MATCH
-        elif EN_LABEL in provs.values():
-            status = STATUS_LABEL
-        else:
-            status = STATUS_TITLE
-        return pa.table(
-            {
-                "doc_id": pa.array([g["doc_id"][0].as_py()], pa.string()),
-                "subj": pa.array([g["subj"][0].as_py()], pa.string()),
-                "pred": pa.array([g["pred"][0].as_py()], pa.string()),
-                "obj": pa.array([g["obj"][0].as_py()], pa.string()),
-                "subj_id": pa.array([ids[0]], pa.string()),
-                "pred_id": pa.array([ids[1]], pa.string()),
-                "obj_id": pa.array([ids[2]], pa.string()),
-                "matched": pa.array([ok], pa.bool_()),
-                "match_status": pa.array([status], pa.string()),
-            }
-        )
-
-    return joined.groupby(["doc_id", "subj", "pred", "obj"]).map_groups(
-        assemble, batch_format="pyarrow"
+    The ``materialize()`` barriers between joins mirror
+    ``q5_region_revenue``: two live hash-join operators in one streaming
+    plan deadlock on small nodes (each holds its aggregator pool while
+    waiting for the other); a join is a full shuffle barrier anyway, so
+    staging the compact intermediate in the (spillable) object store costs
+    residency, not an extra pass."""
+    join_args = {
+        "num_partitions": num_partitions,
+        "aggregator_ray_remote_args": {"num_cpus": 0.25},
+    }
+    ent_s = _catalog_side(catalog, "e", "subj", "subj_id", "_subj_prov")
+    rel_p = _catalog_side(catalog, "r", "pred", "pred_id", "_pred_prov")
+    ent_o = _catalog_side(catalog, "e", "obj", "obj_id", "_obj_prov")
+    out = triples.join(ent_s, "left_outer", on=("subj",), **join_args).materialize()
+    out = out.join(rel_p, "left_outer", on=("pred",), **join_args).materialize()
+    out = out.join(ent_o, "left_outer", on=("obj",), **join_args)
+    return out.map_batches(
+        _finalize_canonical, batch_format="pyarrow", zero_copy_batch=True
     )

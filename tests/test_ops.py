@@ -175,6 +175,25 @@ def test_lang_id_heuristic():
     assert langs[2] == "code"
 
 
+def test_lang_id_vectorized_matches_reference_scorer():
+    """The searchsorted-gather scorer must reproduce the per-gram dict
+    probe (semantics oracle) on a mixed corpus, including the
+    (-score, lang) tie-break and empty/short texts."""
+    from genie_ray.fixtures import make_documents
+
+    docs = make_documents(n_docs=60, seed=11)
+    texts = [t[:2000] for t in docs["content"].to_pylist()]
+    texts += ["", "a", "¡España! ¿dónde está?", "le chat est sur la table"]
+    scorer = LangId()
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    got = scorer(batch)["lang_pred"].to_pylist()
+    want = []
+    for t in texts:
+        scores = scorer._score_reference((t or "")[:2000])
+        want.append(sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0][0])
+    assert got == want
+
+
 def test_ngram_jaccard_exact_pairs(docs_ds):
     """Exact all-pairs token-set Jaccard: the planted near/exact dups
     (docs 30/31/32 share the BASE body) must pair; random docs must not."""

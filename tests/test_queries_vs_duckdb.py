@@ -72,3 +72,14 @@ def test_rows_only_query_runs(ray_session, name):
 
 def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_q5_supplier_join_branch_matches_oracle(ray_session, con):
+    """Force the supplier size-threshold to 0 so supplier routes through
+    the native hash join (the >2M-row cluster-scale branch) — must still
+    match the DuckDB oracle exactly."""
+    from genie_ray.pipelines.relational import q5_region_revenue
+
+    got = canon(q5_region_revenue(SF_DIR, supplier_broadcast_limit=0))
+    want = canon(con.sql(ORACLES["q5_region_revenue"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)

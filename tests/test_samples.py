@@ -197,6 +197,9 @@ def test_testing_output_reader(ray_session, tmp_path):
          "target": "IGNORED"},
         {"id": 3, "input": "c", "triples": [["X", "q", "Y"], ["X", "q", "Z"]],
          "target": linearize_triples([("X", "q", "Y")])},
+        # pipeline-baseline row: ONLY {id, triples} — both sides must
+        # fall back to re-linearizing the parsed triples
+        {"id": 4, "triples": [["P", "s", "Q"]]},
     ]
     p = tmp_path / "testing_output.jsonl"
     p.write_text("\n".join(json.dumps(x) for x in lines) + "\n")
@@ -208,6 +211,8 @@ def test_testing_output_reader(ray_session, tmp_path):
     assert pd_["2"] == {("C", "r", "D")}       # guess wins over prediction
     assert td_["2"] == {("C", "r", "E")}       # raw_output wins over target
     assert pd_["3"] == {("X", "q", "Y"), ("X", "q", "Z")}  # parsed triples
+    assert pd_["4"] == {("P", "s", "Q")}       # {id, triples}-only row:
+    assert td_["4"] == {("P", "s", "Q")}       # both sides re-linearize
 
     # the evaluate CLI consumes the reference file directly
     from genie_ray.run import main
@@ -217,4 +222,4 @@ def test_testing_output_reader(ray_session, tmp_path):
     with contextlib.redirect_stdout(buf):
         main(["evaluate", "--predictions", str(p), "--targets", str(p)])
     out = json.loads(buf.getvalue())
-    assert out["micro"]["predicted"] == 4 and out["micro"]["target"] == 3
+    assert out["micro"]["predicted"] == 5 and out["micro"]["target"] == 4
