@@ -348,26 +348,25 @@ def _q_exact_dedup(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
-    import os
-
+    """Distributed actor-pool language ID over the golden corpus; oracle
+    is the single-process LangId pass (golden langid.parquet). The
+    sf-scaled timing of this stage lives in bench.py's query suite."""
     import ray.data
 
     from genie_ray.functions.text import lang_id
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
+    ds = ray.data.read_parquet(_golden()["simdocs"])
     return lang_id(ds).select_columns(["doc_id", "lang_pred"])
 
 
 def _q_simhash(sf_dir: str):
-    import os
-
+    """Distributed SimHash signatures; oracle is the single-process
+    signature pass (golden simsigs.parquet) — bit-for-bit int64."""
     import ray.data
 
     from genie_ray.functions.dedup import simhash_batch
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
+    ds = ray.data.read_parquet(_golden()["simdocs"])
     return ds.map_batches(simhash_batch, batch_format="pyarrow")
 
 
@@ -386,8 +385,11 @@ def _q_simhash_dup_pairs(sf_dir: str):
 
 
 def _q_minhash_dup_pairs(sf_dir: str):
-    import os
-
+    """Full distributed MinHash chain (signatures → vectorized banding →
+    capped LSH buckets → join-based exact-Jaccard verify) over the golden
+    near-dup corpus; oracle is an INDEPENDENT single-process dict-bucket
+    implementation (golden minhash_pairs.parquet, `golden.py
+    _minhash_pairs_single`) sharing only the hash primitives."""
     import ray.data
 
     from genie_ray.functions.dedup import (
@@ -396,8 +398,7 @@ def _q_minhash_dup_pairs(sf_dir: str):
         verify_jaccard_pairs,
     )
 
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=["doc_id", "text"])
+    docs = ray.data.read_parquet(_golden()["simdocs"])
     sigs = docs.map_batches(minhash_signatures_batch, batch_format="pyarrow")
     cands = minhash_lsh_candidates(sigs)
     return verify_jaccard_pairs(cands, docs, threshold=0.8)
@@ -427,15 +428,17 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ivf_topk(sf_dir: str):
-    import os
-
+    """Distributed IVF search (spread sample → k-means → centroid-routed
+    actor pool → two-level top-k merge) over the golden clustered
+    embeddings; oracle is the plain-numpy single-process IVF
+    (golden ivf.parquet, `golden.py _ivf_single`)."""
     import numpy as np
     import pyarrow.parquet as pq
     import ray.data
 
     from genie_ray.functions.similarity import ivf_topk
 
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb_path = _golden()["embeds"]
     qtab = pq.read_table(emb_path).to_pandas()
     qtab = qtab[qtab["vec_id"] < 8].sort_values("vec_id")
     ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
@@ -510,9 +513,9 @@ def _q_explode_sentences(sf_dir: str):
 def _q_explode_windows(sf_dir: str):
     """Boundary-aware sentence-window exploder (M9/J5): annotated fixture
     docs → span-aligned windows with per-window linearized targets.
-    Rows-only (nested span arithmetic is not SQL-expressible; pytest
-    property-gates it: no split inside an entity span, triples assigned
-    only to containing windows)."""
+    Oracle: the single-process explosion of the same fixture (golden
+    windows.parquet); pytest property-gates the semantics (no split
+    inside an entity span, triples assigned only to containing windows)."""
     import ray.data
 
     from genie_ray.fixtures import make_annotated_documents
@@ -925,6 +928,26 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT DISTINCT pred AS rel FROM read_parquet('{triples}') "
             f"WHERE pred NOT IN {_sql_set(_keep_rels())}"
         ),
-        # lang_id / simhash / minhash_dup_pairs / ivf_topk / kg_beams:
-        # approximate or not SQL-expressible → rows-only
+        # single-process golden-artifact oracles for the operators whose
+        # semantics live in Python (same pattern as kg_beams): every
+        # queries() entry is now hash-checked — zero rows-only queries
+        "lang_id": (
+            "SELECT doc_id, lang_pred "
+            f"FROM read_parquet('{paths['langid']}')"
+        ),
+        "simhash": (
+            f"SELECT doc_id, simhash FROM read_parquet('{paths['simsigs']}')"
+        ),
+        "minhash_dup_pairs": (
+            "SELECT id_a, id_b, jaccard "
+            f"FROM read_parquet('{paths['minhash_pairs']}')"
+        ),
+        "ivf_topk": (
+            "SELECT query_id, vec_id, rank "
+            f"FROM read_parquet('{paths['ivf']}')"
+        ),
+        "explode_windows": (
+            "SELECT doc_id, window_idx, sentence, linearization "
+            f"FROM read_parquet('{paths['windows']}')"
+        ),
     }

@@ -94,11 +94,63 @@ def run_headline(num_cpus: int, n_docs: int, decode_mode: str = "scan") -> dict:
     }
 
 
+def _sf_scaled_ops(sf_dir: str) -> dict:
+    """Direct sf-scaled library invocations for operators whose queries()
+    entries are pinned to golden fixtures (their correctness oracles are
+    single-process golden artifacts) — the BENCH timing still runs them
+    over the full driver tables."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from genie_ray.functions.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures_batch,
+        simhash_batch,
+        verify_jaccard_pairs,
+    )
+    from genie_ray.functions.similarity import ivf_topk
+    from genie_ray.functions.text import lang_id
+
+    def read_docs():
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+
+    def op_lang_id(_):
+        return lang_id(read_docs()).select_columns(["doc_id", "lang_pred"])
+
+    def op_simhash(_):
+        return read_docs().map_batches(simhash_batch, batch_format="pyarrow")
+
+    def op_minhash_dup_pairs(_):
+        docs = read_docs()
+        sigs = docs.map_batches(minhash_signatures_batch, batch_format="pyarrow")
+        return verify_jaccard_pairs(minhash_lsh_candidates(sigs), docs, threshold=0.8)
+
+    def op_ivf_topk(_):
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        qtab = pq.read_table(emb_path).to_pandas()
+        qtab = qtab[qtab["vec_id"] < 8].sort_values("vec_id")
+        ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        return ivf_topk(
+            ds, qtab["vec_id"].to_numpy(), np.stack(qtab["embedding"].to_numpy()),
+            k=10, num_centroids=8, nprobe=3,
+        )
+
+    return {
+        "lang_id": op_lang_id,
+        "simhash": op_simhash,
+        "minhash_dup_pairs": op_minhash_dup_pairs,
+        "ivf_topk": op_ivf_topk,
+    }
+
+
 def run_query_suite(sf_dir: str) -> dict:
     """Per-operator wall times over the driver tables."""
     import __ray_entry__ as E
 
-    qs = E.queries()
+    qs = {**E.queries(), **_sf_scaled_ops(sf_dir)}
     names = [
         "group_agg", "join_enrich", "window_tumbling", "anti_join_unique",
         "token_counts", "quality", "lang_id", "fingerprint",

@@ -75,32 +75,42 @@ class HFConstrainedBackend:
 
     def __init__(
         self,
-        checkpoint_path: str,
+        checkpoint_path: str | None,
         entities_trie: FlatTrie,
         relations_trie: FlatTrie,
         params: HFGenerationParams | None = None,
         device: str = "cpu",
+        model=None,
+        tokenizer=None,
     ):
-        try:
-            import torch  # noqa: F401
-            from transformers import (  # noqa: F401
-                AutoTokenizer,
-                BartForConditionalGeneration,
-            )
-        except ImportError as e:  # sandbox: torch/transformers not installed
-            raise NotImplementedError(
-                "HFConstrainedBackend needs torch+transformers; this "
-                "environment provides neither — use the deterministic "
-                "backend (decode_mode='scan'/'beam') for conformance runs"
-            ) from e
         self.params = params or HFGenerationParams()
         self.device = device
-        self.tokenizer = AutoTokenizer.from_pretrained(checkpoint_path)
-        self.model = (
-            BartForConditionalGeneration.from_pretrained(checkpoint_path)
-            .to(device)
-            .eval()
-        )
+        if model is not None and tokenizer is not None:
+            # injected seq2seq implementing the HF generate surface
+            # (`generate(num_beams, num_return_sequences,
+            # prefix_allowed_tokens_fn, ...)`) — lets pytest exercise the
+            # batching/regroup/sentinel plumbing without torch
+            self.tokenizer = tokenizer
+            self.model = model
+        else:
+            try:
+                import torch  # noqa: F401
+                from transformers import (  # noqa: F401
+                    AutoTokenizer,
+                    BartForConditionalGeneration,
+                )
+            except ImportError as e:  # sandbox: torch/transformers absent
+                raise NotImplementedError(
+                    "HFConstrainedBackend needs torch+transformers; this "
+                    "environment provides neither — use the deterministic "
+                    "backend (decode_mode='scan'/'beam') for conformance runs"
+                ) from e
+            self.tokenizer = AutoTokenizer.from_pretrained(checkpoint_path)
+            self.model = (
+                BartForConditionalGeneration.from_pretrained(checkpoint_path)
+                .to(device)
+                .eval()
+            )
         # the same FSM the deterministic backend uses, over the checkpoint
         # tokenizer's ids — this is the whole point: one constraint
         # implementation serving both backends
@@ -117,7 +127,14 @@ class HFConstrainedBackend:
     def generate_batch(self, contents: Sequence[str]) -> List[List[Beam]]:
         """One HF generate call per batch (the reference's ``sample``,
         `genie_base_pl.py:435-555`)."""
-        import torch
+        try:
+            import torch
+
+            grad_ctx = torch.no_grad()
+        except ImportError:  # injected pure-Python seq2seq path
+            import contextlib
+
+            grad_ctx = contextlib.nullcontext()
 
         p = self.params
         enc = self.tokenizer(
@@ -127,7 +144,7 @@ class HFConstrainedBackend:
             padding=True,
             return_tensors="pt",
         ).to(self.device)
-        with torch.no_grad():
+        with grad_ctx:
             out = self.model.generate(
                 **enc,
                 num_beams=p.num_beams,

@@ -322,3 +322,30 @@ def make_annotated_documents(n_docs: int = 60, seed: int = 42) -> pa.Table:
             "triples": pa.array(trip_cols, pa.list_(trip_t)),
         }
     )
+
+
+# -- embeddings (similarity/IVF golden input) ---------------------------------
+
+
+def make_embeddings(
+    n: int = 600, dim: int = 32, n_labels: int = 8, seed: int = 42
+) -> pa.Table:
+    """Deterministic clustered embedding table in the driver-table shape
+    (vec_id int64, embedding list<float32>, label int32): one Gaussian
+    cluster mean per label + noise, so IVF centroids have real structure
+    to find. Rows are WRITTEN in label order (clustered storage) — exactly
+    the layout that biases a head-block `limit(n)` sample, which the
+    spread-sample path must be immune to."""
+    rng = np.random.default_rng([seed, 424242])
+    means = rng.standard_normal((n_labels, dim)) * 3.0
+    labels = np.repeat(np.arange(n_labels), -(-n // n_labels))[:n]
+    vecs = (means[labels] + rng.standard_normal((n, dim))).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype(np.int32)),
+        }
+    )

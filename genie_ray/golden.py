@@ -56,6 +56,8 @@ _FINGERPRINT_SOURCES = (
     os.path.join("core", "extractor.py"),
     os.path.join("functions", "dedup.py"),
     os.path.join("functions", "multimodal.py"),
+    os.path.join("functions", "text.py"),
+    os.path.join("functions", "similarity.py"),
 )
 
 ARTIFACTS = (
@@ -72,6 +74,11 @@ ARTIFACTS = (
     "catalog_relations.parquet",
     "beams.parquet",
     "kilt.jsonl",
+    "langid.parquet",
+    "minhash_pairs.parquet",
+    "embeds.parquet",
+    "ivf.parquet",
+    "windows.parquet",
 )
 
 
@@ -189,6 +196,116 @@ def _simdocs_table(docs: pa.Table, seed: int) -> pa.Table:
     )
 
 
+def _minhash_pairs_single(
+    simdocs: pa.Table,
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+    bucket_cap: int = 200,
+) -> pa.Table:
+    """Single-process MinHash-LSH + exact-Jaccard verify: plain dict
+    buckets and Python sets — an INDEPENDENT implementation of the
+    banding/bucketing/verify semantics the distributed
+    ``minhash_lsh_candidates → verify_jaccard_pairs`` chain must
+    reproduce (shares only the deterministic hash primitives)."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from .functions.dedup import _minhash_sig, _mix_constants, _shingle_hashes
+
+    ids = simdocs["doc_id"].to_pylist()
+    texts = simdocs["text"].to_pylist()
+    shingles = {i: _shingle_hashes(t, shingle_k) for i, t in zip(ids, texts)}
+    salts = _mix_constants(num_bands)
+    mix = _mix_constants(rows_per_band)
+    buckets: dict = defaultdict(list)
+    for i in ids:
+        sig = _minhash_sig(shingles[i], num_perm, seed).reshape(
+            num_bands, rows_per_band
+        )
+        with np.errstate(over="ignore"):
+            bh = (sig * mix).sum(axis=1, dtype=np.uint64) ^ salts
+        for band in range(num_bands):
+            buckets[(band, int(bh[band]))].append(i)
+    cand = set()
+    for members in buckets.values():
+        members = sorted(members)[:bucket_cap]
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                cand.add((members[x], members[y]))
+    o_a, o_b, o_j = [], [], []
+    for a, b in sorted(cand):
+        sa, sb = set(shingles[a].tolist()), set(shingles[b].tolist())
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 0.0
+        if j >= threshold:
+            o_a.append(a)
+            o_b.append(b)
+            o_j.append(j)
+    return pa.table(
+        {
+            "id_a": pa.array(o_a, pa.string()),
+            "id_b": pa.array(o_b, pa.string()),
+            "jaccard": pa.array(o_j, pa.float64()),
+        }
+    )
+
+
+def _ivf_single(
+    embeds: pa.Table,
+    k: int = 10,
+    num_centroids: int = 8,
+    nprobe: int = 3,
+    sample_size: int = 2048,
+    seed: int = 42,
+    n_queries: int = 8,
+) -> pa.Table:
+    """Single-process IVF top-k over the golden embeddings: same spread
+    sample (bottom-``sample_size`` by stable id-hash), same k-means, then
+    plain-numpy centroid routing + per-query ranking — the distributed
+    actor-pool + two-level-top-k-merge path must reproduce every
+    (query_id, vec_id, rank) row."""
+    import numpy as np
+    import polars as pl
+
+    from .functions.similarity import _unit, kmeans_centroids
+
+    vec_ids = np.asarray(embeds["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.asarray(embeds["embedding"].to_pylist(), dtype=np.float64)
+    h = np.asarray(pl.Series(vec_ids).hash(seed=seed).to_numpy(), dtype=np.uint64)
+    order = np.lexsort((vec_ids, h))[:sample_size]
+    cents = kmeans_centroids(vecs[order], num_centroids, seed=seed)
+
+    qmask = vec_ids < n_queries
+    q_order = np.argsort(vec_ids[qmask])
+    q_ids = vec_ids[qmask][q_order]
+    qmat = _unit(vecs[qmask][q_order])
+    probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+
+    unit = _unit(vecs)
+    assign = np.argmax(unit @ cents.T, axis=1)
+    o_q, o_id, o_r = [], [], []
+    for qi, qid in enumerate(q_ids):
+        mask = np.isin(assign, probe[qi])
+        sub_ids = vec_ids[mask]
+        sims = unit[mask] @ qmat[qi]
+        idx = np.lexsort((sub_ids, -sims))[: min(k, len(sub_ids))]
+        o_q.extend([int(qid)] * len(idx))
+        o_id.extend(sub_ids[idx].tolist())
+        o_r.extend(range(1, len(idx) + 1))
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int64()),
+            "vec_id": pa.array(o_id, pa.int64()),
+            "rank": pa.array(o_r, pa.int64()),
+        }
+    )
+
+
 def ensure_golden(n_docs: int = 300, seed: int = 42) -> Dict[str, str]:
     """Idempotently materialize every golden artifact; returns name→path.
     Pure single-process (no Ray): this is the oracle side of the
@@ -237,6 +354,28 @@ def ensure_golden(n_docs: int = 300, seed: int = 42) -> Dict[str, str]:
     simdocs = _simdocs_table(docs, seed)
     w("simdocs", simdocs)
     w("simsigs", simhash_batch(simdocs))
+
+    # language-ID predictions (single-process LangId over the near-dup
+    # corpus): oracle for the distributed actor-pool stage
+    from .functions.text import LangId, explode_windows_batch
+
+    w("langid", LangId()(simdocs).select(["doc_id", "lang_pred"]))
+
+    # MinHash-LSH verified pairs via the independent dict-bucket
+    # implementation (oracle for signatures → banding → distributed verify)
+    w("minhash_pairs", _minhash_pairs_single(simdocs))
+
+    # clustered embeddings + single-process IVF top-k (oracle for the
+    # spread-sample → centroid-routed → two-level-merge distributed path)
+    from .fixtures import make_annotated_documents, make_embeddings
+
+    embeds = make_embeddings()
+    w("embeds", embeds)
+    w("ivf", _ivf_single(embeds))
+
+    # boundary-aware window explosion, single-process over the annotated
+    # fixture (oracle for the distributed flat-map)
+    w("windows", explode_windows_batch(make_annotated_documents(n_docs=120, seed=42)))
 
     # catalog_from_dump oracle: the dump chain's surface IS the enwiki
     # title, so its provenance is en_title for every surviving entity

@@ -63,11 +63,10 @@ def test_query_matches_oracle(ray_session, con, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_query_runs(ray_session, name):
-    got = to_pandas(QUERIES[name](SF_DIR))
-    assert got is not None
-    assert len(got.columns) > 0
+def test_every_query_has_an_oracle():
+    """Round-3 invariant: zero rows-only queries — every operator in the
+    driver contract is hash-checked against an oracle."""
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 def test_oracle_keys_subset_of_queries():
