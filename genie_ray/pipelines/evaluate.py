@@ -74,7 +74,13 @@ def parse_sides(
     predictions: ray.data.Dataset, targets: ray.data.Dataset
 ) -> ray.data.Dataset:
     """Both inputs: (doc_id, linearization). Output: tagged exploded
-    triples, unioned (one streaming pass per side, no materialize)."""
+    triples, unioned (one streaming pass per side, no materialize).
+
+    Note: Ray's UnionOperator emits a terminal empty (schema-less) bundle
+    in streaming plans, so a shuffle consuming this union logs a benign
+    executor schema-mismatch WARNING; every real block carries the full
+    tagged schema (verified block-by-block) and all three eval queries are
+    hash-exact against their oracles."""
     p = predictions.map_batches(
         _parse_side, fn_kwargs={"side": "pred"}, batch_format="pyarrow"
     )
@@ -160,7 +166,11 @@ def per_doc_counters(
         fn_kwargs={"num_buckets": num_buckets},
         batch_format="pyarrow",
     )
-    return counted.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+    # partitions sized to the bucket cardinality: empty sort partitions
+    # would emit schema-less blocks (executor schema-mismatch warnings)
+    return counted.groupby("bucket", num_partitions=max(1, num_buckets // 8)).map_groups(
+        merge, batch_format="pyarrow"
+    )
 
 
 def micro_metrics_distributed(
@@ -206,9 +216,12 @@ def per_relation_counters(
         fn_kwargs={"num_buckets": num_buckets},
         batch_format="pyarrow",
     )
-    partials = counted.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+    partials = counted.groupby(
+        "bucket", num_partitions=max(1, num_buckets // 8)
+    ).map_groups(merge, batch_format="pyarrow")
     per_rel = (
-        partials.groupby("rel")
+        # partials are tiny (num_buckets × #relations rows): one partition
+        partials.groupby("rel", num_partitions=1)
         .sum(["correct", "predicted", "target"])
         .to_pandas()
         .rename(
