@@ -199,7 +199,15 @@ def extract_to_triples(
     # sort-based groupby: at this shuffle volume (triples are ~1% of the
     # input bytes — content never crosses this boundary) the sort's cost
     # is the barrier, not the bytes; hash-shuffle aggregator pools
-    # measured strictly worse on ≤32-CPU nodes
+    # measured strictly worse on ≤32-CPU nodes.
+    # COALESCE before the sort: Ray's sort cost grows with input block
+    # count, not bytes — 320 extraction-output blocks took ~11 s to sort
+    # 66 MB of triples where 32 coalesced blocks take ~1 s (measured).
+    # The extraction stage emits one block per task (concurrency × 8), so
+    # without this the sort barrier was 36% of the 32-CPU wall and the
+    # dominant scaling loss. repartition() here is a cheap concat (no
+    # shuffle flag), and the groupby is a barrier anyway.
+    canon = canon.repartition(max(cfg.num_partitions * 2, 16))
     return canon.groupby("part").map_groups(
         write_parts, batch_format="pyarrow"
     )
@@ -272,6 +280,9 @@ def build_graph(
             }
         )
 
+    # same block-count coalesce as the extract sink (sort cost tracks
+    # block count, and partials are tiny after the batch-local combine)
+    partial = partial.repartition(max(cfg.num_buckets * 2, 16))
     return partial.groupby("bucket").map_groups(
         write_buckets, batch_format="pyarrow"
     )

@@ -103,12 +103,19 @@ def run_full_evaluation(
 def write_results(results: Dict, output_dir: str) -> str:
     """S10: one ``{evaluator}_results.json`` per evaluator plus the merged
     ``evaluation_results_object.json`` (`evaluate_from_file.py:56-59,
-    211-214`). Returns the merged object's path."""
+    211-214`) and the bucket figure (`:153-169` — PNG when matplotlib is
+    available, deterministic SVG here). Returns the merged object's path."""
     os.makedirs(output_dir, exist_ok=True)
     for name in ("micro", "macro", "bucket", "zero_shot"):
         if name in results:
             with open(os.path.join(output_dir, f"{name}_results.json"), "w") as f:
                 json.dump(results[name], f, indent=4, sort_keys=True)
+    if results.get("bucket"):
+        from .plots import plot_bucket_results
+
+        plot_bucket_results(
+            results["bucket"], os.path.join(output_dir, "bucket_results")
+        )
     merged = os.path.join(output_dir, RESULTS_OBJECT_NAME)
     with open(merged, "w") as f:
         json.dump(results, f, indent=4, sort_keys=True)

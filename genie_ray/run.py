@@ -158,6 +158,14 @@ def main(argv=None) -> None:
     rs.add_argument("--bootstrap", type=int, default=50)
     rs.set_defaults(fn=cmd_results)
 
+    # config-file-driven composition (the reference's Hydra surface,
+    # `run.py:10-39`): every component node instantiates via `_target_`
+    cf = sub.add_parser("config")
+    cf.add_argument("config_path", help="YAML/JSON config with a 'mode' key")
+    cf.set_defaults(fn=lambda a: __import__(
+        "genie_ray.config", fromlist=["run_config"]
+    ).run_config(a.config_path))
+
     args = ap.parse_args(argv)
     _ensure_ray(args.num_cpus)
     print(json.dumps(args.fn(args), default=float))

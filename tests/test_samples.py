@@ -153,6 +153,7 @@ def test_results_orchestration_matches_components(ray_session, tmp_path):
     assert names == {
         "micro_results.json", "macro_results.json", "bucket_results.json",
         "zero_shot_results.json", "evaluation_results_object.json",
+        "bucket_results.svg",  # the figure surface (PNG when matplotlib)
     }
     with open(merged) as f:
         assert json.load(f)["micro"]["f1"] == res["micro"]["f1"]
