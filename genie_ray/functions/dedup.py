@@ -188,11 +188,19 @@ def minhash_lsh_candidates(
     num_bands: int = 16,
     rows_per_band: int = 4,
     bucket_cap: int = 200,
+    num_shuffle_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Band the signatures (b bands × r rows), hash each band → explode to
-    (band_id, band_hash, doc_id) rows → groupby band bucket → emit
+    (band_id, band_hash, doc_id) rows → ONE bucketed shuffle → emit
     candidate pairs (a < b). Pairs can repeat across bands; downstream
     verification dedups.
+
+    The wide step shuffles ``num_shuffle_buckets`` hash buckets of the
+    band keys, NOT one group per distinct (band, band_hash) — almost every
+    band value is a singleton, and a per-group Python callback over tens
+    of thousands of one-doc groups measured ~4 s at sf0.1 where the
+    bucketed form (Arrow ``group_by`` cohort detection inside each bucket,
+    Python only for the rare ≥2-doc cohorts) takes well under 1 s.
 
     Hot buckets (boilerplate-heavy corpora) are capped at ``bucket_cap``
     docs to bound the quadratic within-bucket cost; truncation is NOT
@@ -212,6 +220,7 @@ def minhash_lsh_candidates(
         if n == 0:
             return pa.table(
                 {
+                    "bucket": pa.array([], pa.int32()),
                     "band": pa.array([], pa.int32()),
                     "band_hash": pa.array([], pa.int64()),
                     id_col: pa.array([], batch[id_col].type),
@@ -222,46 +231,67 @@ def minhash_lsh_candidates(
         mix = _mix_constants(rows_per_band)
         with np.errstate(over="ignore"):
             bh = (sig * mix).sum(axis=2, dtype=np.uint64) ^ band_salts[None, :]
+        flat = bh.T.reshape(-1)
         return pa.table(
             {
+                "bucket": pa.array(
+                    (flat % np.uint64(num_shuffle_buckets)).astype(np.int32)
+                ),
                 "band": pa.array(
                     np.repeat(np.arange(num_bands, dtype=np.int32), n)
                 ),
-                "band_hash": pa.array(bh.T.reshape(-1).view(np.int64)),
+                "band_hash": pa.array(flat.view(np.int64)),
                 id_col: pa.array(ids * num_bands, batch[id_col].type),
             }
         )
 
-    def pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(g[id_col].to_pylist())
-        a_, b_ = [], []
-        # bucket sizes are tiny for sane band widths; quadratic within
-        # bucket is the standard LSH cost model
-        truncated = max(0, len(ids) - bucket_cap)
-        if truncated:
-            logging.getLogger(__name__).warning(
-                "LSH bucket (%s, %s) holds %d docs; capped at %d — %d docs "
-                "dropped from candidate generation",
-                g["band"][0].as_py(), g["band_hash"][0].as_py(),
-                len(ids), bucket_cap, truncated,
-            )
-        ids = ids[:bucket_cap]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_.append(ids[i])
-                b_.append(ids[j])
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        """One hash bucket of band keys: find multi-doc cohorts with a
+        single Arrow ``group_by`` (singletons — the vast majority — never
+        touch Python), then pair-generate inside each ≥2-doc cohort."""
+        cohorts = g.group_by(["band", "band_hash"]).aggregate(
+            [(id_col, "count"), (id_col, "list")]
+        )
+        counts = cohorts[f"{id_col}_count"].to_numpy()
+        keep = np.flatnonzero(counts >= 2)
+        a_, b_, trunc_ = [], [], []
+        if len(keep):
+            bands = cohorts["band"].to_numpy()
+            hashes = cohorts["band_hash"].to_numpy()
+            id_lists = cohorts[f"{id_col}_list"].to_pylist()
+            for i in keep:
+                ids = sorted(id_lists[i])
+                # bucket sizes are tiny for sane band widths; quadratic
+                # within cohort is the standard LSH cost model
+                truncated = max(0, len(ids) - bucket_cap)
+                if truncated:
+                    logging.getLogger(__name__).warning(
+                        "LSH bucket (%s, %s) holds %d docs; capped at %d — "
+                        "%d docs dropped from candidate generation",
+                        int(bands[i]), int(hashes[i]),
+                        len(ids), bucket_cap, truncated,
+                    )
+                ids = ids[:bucket_cap]
+                for x in range(len(ids)):
+                    for y in range(x + 1, len(ids)):
+                        a_.append(ids[x])
+                        b_.append(ids[y])
+                        trunc_.append(truncated)
         return pa.table(
             {
                 "id_a": pa.array(a_, g[id_col].type),
                 "id_b": pa.array(b_, g[id_col].type),
-                "bucket_truncated": pa.array([truncated] * len(a_), pa.int64()),
+                "bucket_truncated": pa.array(trunc_, pa.int64()),
             }
         )
 
+    # shuffle partitions scale with the bucket count (raise
+    # num_shuffle_buckets for bigger corpora — partitions follow), never a
+    # fixed constant that would concentrate a corpus-scale exploded stream
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
-    return exploded.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pyarrow"
-    )
+    return exploded.groupby(
+        "bucket", num_partitions=max(1, num_shuffle_buckets // 8)
+    ).map_groups(bucket_pairs, batch_format="pyarrow")
 
 
 _PAIR_SEP = "\x1f"
@@ -328,6 +358,11 @@ def verify_jaccard_pairs(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        # coalesce: drops the schema-less empty blocks that sort-based
+        # groupbys emit for empty partitions (Arrow's hash join rejects
+        # them with 'No match for FieldRef') and shrinks block count for
+        # the tiny pair table
+        .repartition(num_partitions)
         .materialize()
     )
 
