@@ -143,7 +143,11 @@ def spread_sample(
         else:
             idx = np.arange(t.num_rows)
         out = t.take(pa.array(idx, pa.int64()))
-        return out.append_column("_h", pa.array(h[idx].view(np.int64)))
+        # order-preserving signed encoding (flip the top bit): the merge's
+        # int64 sort must agree with the UNSIGNED order the local
+        # bottom-k used, or the selected set depends on block layout
+        enc = (h[idx] ^ np.uint64(1 << 63)).view(np.int64)
+        return out.append_column("_h", pa.array(enc))
 
     def merge(t: pa.Table) -> pa.Table:
         t = t.sort_by([("_h", "ascending"), (id_col, "ascending")])

@@ -194,6 +194,27 @@ def test_lang_id_vectorized_matches_reference_scorer():
     assert got == want
 
 
+def test_spread_sample_partition_invariant(ray_session):
+    """spread_sample must return the SAME rows regardless of how the
+    input is blocked (it is a pure function of the id multiset) and must
+    draw from the whole corpus, not the head blocks."""
+    import numpy as np
+    import ray.data
+
+    from genie_ray.fixtures import make_embeddings
+    from genie_ray.functions.similarity import spread_sample
+
+    tab = make_embeddings(n=400)
+    one = ray.data.from_arrow(tab)
+    many = ray.data.from_arrow([tab.slice(i * 40, 40) for i in range(10)])
+    s1 = spread_sample(one, 64, seed=7)
+    s2 = spread_sample(many, 64, seed=7)
+    assert s1.column("vec_id").to_pylist() == s2.column("vec_id").to_pylist()
+    ids = np.array(s1.column("vec_id").to_pylist())
+    # head-block bias check: a limit(64) sample would be all < 64
+    assert ids.max() > 200 and len(ids) == 64
+
+
 def test_ngram_jaccard_exact_pairs(docs_ds):
     """Exact all-pairs token-set Jaccard: the planted near/exact dups
     (docs 30/31/32 share the BASE body) must pair; random docs must not."""
