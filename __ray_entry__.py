@@ -404,6 +404,20 @@ def _q_minhash_dup_pairs(sf_dir: str):
     return verify_jaccard_pairs(cands, docs, threshold=0.8)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Connected components over the golden near-dup pair table via
+    distributed min-label propagation (the dedup keep-list primitive).
+    Oracle: DuckDB recursive CTE computing min-reachable-id per node."""
+    import ray.data
+
+    from genie_ray.functions.dedup import duplicate_clusters
+
+    pairs = ray.data.read_parquet(
+        _golden()["minhash_pairs"], columns=["id_a", "id_b"]
+    )
+    return duplicate_clusters(pairs, num_partitions=4)
+
+
 def _q_ann_topk(sf_dir: str):
     import os
 
@@ -601,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "near_dup_cosine": _q_near_dup_cosine,
+        "dedup_clusters": _q_dedup_clusters,
         # multimodal plumbing
         "media_features": _q_media_features,
         # similarity search
@@ -949,5 +964,14 @@ def oracle_sql() -> dict[str, str]:
         "explode_windows": (
             "SELECT doc_id, window_idx, sentence, linearization "
             f"FROM read_parquet('{paths['windows']}')"
+        ),
+        "dedup_clusters": (
+            "WITH RECURSIVE e AS ("
+            f"  SELECT id_a AS s, id_b AS d FROM read_parquet('{paths['minhash_pairs']}') "
+            f"  UNION SELECT id_b, id_a FROM read_parquet('{paths['minhash_pairs']}')), "
+            "reach(id, r) AS ("
+            "  SELECT s, s FROM e "
+            "  UNION SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id) "
+            "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"
         ),
     }

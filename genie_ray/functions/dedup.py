@@ -736,3 +736,111 @@ def ngram_jaccard_pairs(
             )
 
     return ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=2)
+
+
+# -- duplicate clusters (connected components over near-dup pairs) ------------
+
+
+def duplicate_clusters(
+    pairs: ray.data.Dataset,
+    num_partitions: int = 8,
+    max_iters: int = 25,
+) -> ray.data.Dataset:
+    """Connected components over a near-dup pair table: every doc that
+    appears in an edge gets ``cluster_id`` = the minimum (lexicographic)
+    doc id reachable from it — the keep-list primitive of a dedup
+    pipeline (drop every row whose ``doc_id != cluster_id``).
+
+    Distributed iterative MIN-LABEL PROPAGATION (the standard scalable CC
+    formulation — no global union-find state): labels start as self; each
+    round hash-joins the (bidirectional) edge list against current labels
+    and takes the per-node min over {self} ∪ {neighbor labels}; converges
+    in O(component diameter) rounds — LSH near-dup components are
+    near-cliques, so 2–4 rounds in practice, hard-capped at
+    ``max_iters``. Per round: one hash join + one groupby-min over
+    edge-scale data (the pair table, ≪ corpus by LSH design); labels are
+    materialized per round (they are the small side).
+
+    Convergence is detected with a cheap distributed checksum (sum of
+    stable label hashes), not a driver collect."""
+    import polars as pl
+
+    sch = pairs.schema()
+    id_type = dict(zip(sch.names, sch.types))["id_a"]
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        src = pa.chunked_array(
+            list(t["id_a"].chunks) + list(t["id_b"].chunks), type=id_type
+        )
+        dst = pa.chunked_array(
+            list(t["id_b"].chunks) + list(t["id_a"].chunks), type=id_type
+        )
+        return pa.table({"src": src, "dst": dst})
+
+    edges = pairs.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        d = t.select(["src"]).group_by("src").aggregate([])
+        return pa.table({"node": d["src"], "label": d["src"]})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node", num_partitions=num_partitions)
+        .min("label")
+        .map_batches(
+            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
+        )
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    def checksum(ds: ray.data.Dataset) -> int:
+        def part(t: pa.Table) -> pa.Table:
+            h = pl.from_arrow(t["label"]).hash(seed=11).to_numpy()
+            s = np.sum(h, dtype=np.uint64) & np.uint64((1 << 63) - 1)
+            return pa.table({"c": pa.array([int(s)], pa.int64())})
+
+        s = ds.map_batches(part, batch_format="pyarrow").sum("c")
+        return int(s) if s is not None else 0
+
+    prev = checksum(labels)
+    join_args = {
+        "num_partitions": num_partitions,
+        "aggregator_ray_remote_args": {"num_cpus": 0.25},
+    }
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["dst", "label"]),
+                batch_format="pyarrow",
+            ),
+            "inner",
+            on=("dst",),
+            **join_args,
+        ).map_batches(
+            lambda t: pa.table({"node": t["src"], "label": t["label"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        labels = (
+            labels.union(nbr)
+            .groupby("node", num_partitions=num_partitions)
+            .min("label")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]),
+                batch_format="pyarrow",
+            )
+            .repartition(num_partitions)
+            .materialize()
+        )
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

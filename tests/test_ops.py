@@ -194,6 +194,30 @@ def test_lang_id_vectorized_matches_reference_scorer():
     assert got == want
 
 
+def test_duplicate_clusters_multi_hop_chain(ray_session):
+    """Min-label propagation must traverse multi-hop chains (a-b-c-d is
+    ONE component even though a and d never share an edge) and leave
+    disjoint pairs in their own clusters."""
+    import ray.data
+
+    from genie_ray.functions.dedup import duplicate_clusters
+
+    edges = pa.table(
+        {
+            "id_a": pa.array(["b", "c", "a", "x"], pa.string()),
+            "id_b": pa.array(["c", "d", "b", "y"], pa.string()),
+        }
+    )
+    out = (
+        duplicate_clusters(ray.data.from_arrow(edges), num_partitions=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
 def test_spread_sample_partition_invariant(ray_session):
     """spread_sample must return the SAME rows regardless of how the
     input is blocked (it is a pure function of the id multiset) and must
