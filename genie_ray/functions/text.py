@@ -28,10 +28,13 @@ _WS_RE = re.compile(r"\s+")
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace token count (Python ``str.split()`` semantics)."""
-    texts = batch[text_col].to_pylist()
-    counts = [len(t.split()) if t else 0 for t in texts]
-    return batch.append_column("n_tokens", pa.array(counts, pa.int64()))
+    """Whitespace token count (Python ``str.split()`` semantics ==
+    number of ``\\S+`` runs) — one vectorized Arrow regex-count kernel,
+    no per-row Python."""
+    counts = pc.cast(
+        pc.count_substring_regex(batch[text_col], r"\S+"), pa.int64()
+    )
+    return batch.append_column("n_tokens", pc.fill_null(counts, 0))
 
 
 # BPE-ish pre-tokenization pattern (GPT-2-style segment classes, ASCII
@@ -43,9 +46,10 @@ BPE_SQL_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
 def token_count_bpe_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    texts = batch[text_col].to_pylist()
-    counts = [len(_BPE_RE.findall(t)) if t else 0 for t in texts]
-    return batch.append_column("n_bpe_tokens", pa.array(counts, pa.int64()))
+    counts = pc.cast(
+        pc.count_substring_regex(batch[text_col], BPE_SQL_PATTERN), pa.int64()
+    )
+    return batch.append_column("n_bpe_tokens", pc.fill_null(counts, 0))
 
 
 def token_counts_bpe(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
@@ -59,20 +63,50 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality heuristics: length, punctuation ratio, stopword ratio, mean
     token length. Ratios are over explicit, SQL-matchable definitions:
     punct chars from ``PUNCT_CHARS`` / total chars; stopwords (lowercased
-    exact match) / tokens. Score = simple bounded combination."""
-    texts = batch[text_col].to_pylist()
-    n_chars, punct_ratio, stop_ratio, mean_tok = [], [], [], []
-    for t in texts:
-        t = t or ""
-        toks = t.split()
-        nc = len(t)
-        np_ = sum(t.count(c) for c in PUNCT_CHARS)
-        ns = sum(1 for w in toks if w.lower() in STOPWORDS)
-        n_chars.append(nc)
-        punct_ratio.append(np_ / nc if nc else 0.0)
-        stop_ratio.append(ns / len(toks) if toks else 0.0)
-        mean_tok.append(sum(len(w) for w in toks) / len(toks) if toks else 0.0)
-    out = batch.append_column("n_chars_q", pa.array(n_chars, pa.int64()))
+    exact match) / tokens. Fully vectorized: Arrow kernels for the
+    char-level ratios, polars list expressions for the token-level ones —
+    no per-row Python (hash-exact vs the DuckDB oracle either way; the
+    single final division per ratio keeps floats bit-identical)."""
+    import polars as pl
+
+    n = batch.num_rows
+    text = batch[text_col]
+    n_chars = pc.cast(pc.fill_null(pc.utf8_length(text), 0), pa.int64())
+    n_punct = pa.array(np.zeros(n, dtype=np.int64))
+    for c in PUNCT_CHARS:
+        n_punct = pc.add(
+            n_punct, pc.cast(pc.fill_null(pc.count_substring(text, c), 0), pa.int64())
+        )
+    nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+    punct_ratio = np.divide(
+        n_punct.to_numpy(zero_copy_only=False), nc,
+        out=np.zeros(n, dtype=np.float64), where=nc > 0,
+    )
+
+    toks = (
+        pl.from_arrow(text).rename("t").to_frame()
+        .select(
+            n_tok=pl.col("t").str.extract_all(r"\S+").list.len(),
+            n_stop=pl.col("t")
+            .str.extract_all(r"\S+")
+            .list.eval(pl.element().str.to_lowercase().is_in(list(STOPWORDS)))
+            .list.sum(),
+            tok_chars=pl.col("t")
+            .str.extract_all(r"\S+")
+            .list.eval(pl.element().str.len_chars())
+            .list.sum(),
+        )
+    )
+    n_tok = toks["n_tok"].fill_null(0).to_numpy().astype(np.float64)
+    n_stop = toks["n_stop"].fill_null(0).to_numpy().astype(np.float64)
+    tok_chars = toks["tok_chars"].fill_null(0).to_numpy().astype(np.float64)
+    stop_ratio = np.divide(
+        n_stop, n_tok, out=np.zeros(n, dtype=np.float64), where=n_tok > 0
+    )
+    mean_tok = np.divide(
+        tok_chars, n_tok, out=np.zeros(n, dtype=np.float64), where=n_tok > 0
+    )
+    out = batch.append_column("n_chars_q", n_chars)
     out = out.append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
     out = out.append_column("stopword_ratio", pa.array(stop_ratio, pa.float64()))
     out = out.append_column("mean_token_len", pa.array(mean_tok, pa.float64()))
