@@ -41,7 +41,13 @@ def exact_dedup(
     (batch × distinct text) and the wide ``groupby`` orders only
     ``num_buckets`` values — never a global sort over every content hash.
     Hot buckets stay bounded: after the local combine a hash contributes
-    at most one row per upstream batch."""
+    at most one row per upstream batch.
+
+    The content hash is per-row Python md5 deliberately: EXACT dedup must
+    not merge distinct texts, and md5's 128 bits make collisions
+    negligible at 10^12 rows where a vectorized 64-bit hash (polars/
+    xxhash) gives a birthday-bound collision probability near 1. The md5
+    costs ~1 µs/doc — reading the text dominates it."""
 
     def partial(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -384,9 +390,9 @@ def verify_jaccard_pairs(
         return empty_out()
     need_ref = ray.put(need)
 
-    def shingle_rows(batch: pa.Table, side_col: str) -> pa.Table:
-        """(id, shingle set) rows for one join side. The set rides as a
-        BINARY blob (raw little-endian uint64 array bytes — Arrow's hash
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        """(id, shingle set) rows for the candidate docs. The set rides as
+        a BINARY blob (raw little-endian uint64 array bytes — Arrow's hash
         join rejects list<> payload columns but carries binary fine;
         identical ~8 bytes/shingle volume)."""
         needed = ray.get(need_ref)
@@ -399,8 +405,8 @@ def verify_jaccard_pairs(
                 o_h.append(_shingle_hashes(t, shingle_k).tobytes())
         return pa.table(
             {
-                side_col: pa.array(o_id, id_type),
-                f"hashes{side_col[2:]}": pa.array(o_h, pa.binary()),
+                "id_a": pa.array(o_id, id_type),
+                "hashes_a": pa.array(o_h, pa.binary()),
             }
         )
 
@@ -408,15 +414,16 @@ def verify_jaccard_pairs(
         "num_partitions": num_partitions,
         "aggregator_ray_remote_args": {"num_cpus": 0.25},
     }
-    # pairs ⋈ shingles twice (id_a, then id_b): side tables carry the join
-    # key under the pair column's name, so no suffix collisions. The
-    # materialize() between the joins is the two-live-hash-joins deadlock
-    # guard (see q5_region_revenue) — a join is a shuffle barrier anyway.
-    sh_a = docs.map_batches(
-        shingle_rows, fn_kwargs={"side_col": "id_a"}, batch_format="pyarrow"
-    )
-    sh_b = docs.map_batches(
-        shingle_rows, fn_kwargs={"side_col": "id_b"}, batch_format="pyarrow"
+    # ONE pruned docs scan + shingle pass, materialized (candidate docs
+    # only — small by LSH design), feeds both join sides via a rename;
+    # pairs ⋈ shingles on id_a, then on id_b. The materialize() between
+    # the joins is the two-live-hash-joins deadlock guard (see
+    # q5_region_revenue) — a join is a shuffle barrier anyway.
+    sh_a = docs.map_batches(shingle_rows, batch_format="pyarrow").materialize()
+    sh_b = sh_a.map_batches(
+        lambda t: t.rename_columns(["id_b", "hashes_b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     with_a = pairs.join(sh_a, "inner", on=("id_a",), **join_args).materialize()
     both = with_a.join(sh_b, "inner", on=("id_b",), **join_args)
