@@ -232,7 +232,9 @@ def minhash_lsh_candidates(
                     id_col: pa.array([], batch[id_col].type),
                 }
             )
-        sig = np.asarray(batch["minhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+        from .similarity import _vec_matrix
+
+        sig = _vec_matrix(batch["minhash"]).view(np.uint64)  # int64 preserved
         sig = sig.reshape(n, num_bands, rows_per_band)
         mix = _mix_constants(rows_per_band)
         with np.errstate(over="ignore"):
@@ -311,27 +313,37 @@ def verify_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     num_partitions: int = 8,
+    broadcast_limit: int = 20_000,
 ) -> ray.data.Dataset:
     """Distributed exact-Jaccard verification of LSH candidate pairs.
 
     Nothing corpus-sized touches the driver: the pair table stays
     distributed end-to-end, and only the DISTINCT candidate-ID column
     (#candidate docs ≤ #pairs×2, a vanishing fraction of the corpus by
-    LSH design) is reduced distributedly and then collected to build the
-    docs-scan pruning set:
+    LSH design) is batch-locally deduped in the cluster and streamed to
+    the driver to build the docs-scan pruning set:
 
         candidates → groupby(id_a, id_b)             # global pair dedup
-        pairs → distinct ids (batch-local dedup → ``Dataset.unique``)
+        pairs → distinct ids (batch-local dedup → streamed driver union)
         docs ⋉ candidate-ids → per-doc shingle-hash arrays
-        pairs ⋈ shingles on id_a, then on id_b       # native hash joins
+        → shingle attach (broadcast or join, see below)
         → one vectorized batch pass: exact Jaccard ≥ threshold
 
+    Shingle attach is the repo's standard size-threshold switch (same
+    boundary as q5's supplier side and M12 canonicalization): when the
+    candidate-doc count is ≤ ``broadcast_limit`` the {id: shingle-blob}
+    map rides plasma once (``ray.put``) and one task pass over the pair
+    table judges every pair — zero extra shuffle barriers. Above the
+    limit (boilerplate-heavy corpora where even the candidate set is too
+    big to hold anywhere whole) the blobs attach via two native hash
+    joins on id_a then id_b; both paths share the same Jaccard kernel and
+    are conformance-tested equal.
+
     No per-group Python anywhere: pair dedup is a native groupby, the
-    shingle sets ride Ray's hash join as ``list<int64>`` columns, and the
-    final pass does one ``np.intersect1d`` per pair (real O(|set|) work,
-    not bookkeeping). Shingle sets are 64-bit hashes (`_shingle_hashes`),
-    so the volume per candidate doc is ~8 bytes/shingle regardless of
-    text size. Returns a Dataset of (id_a, id_b, jaccard)."""
+    shingle sets ride as binary blobs (raw uint64 bytes), and the final
+    pass does one ``np.intersect1d`` per pair (real O(|set|) work, not
+    bookkeeping) — ~8 bytes/shingle regardless of text size. Returns a
+    Dataset of (id_a, id_b, jaccard)."""
     import ray
 
     sch = docs.schema()
@@ -372,20 +384,23 @@ def verify_jaccard_pairs(
         .materialize()
     )
 
-    # DISTINCT candidate ids, reduced distributedly (batch-local dedup +
-    # Dataset.unique's groupby); only the final distinct list reaches the
-    # driver — never the pair table
+    # DISTINCT candidate ids: batch-local dedup in the cluster, then a
+    # streamed driver union of the per-block distinct columns — only id
+    # values ever reach the driver (bounded by #candidate docs, a
+    # vanishing corpus fraction by LSH design), never the pair table.
+    # A `Dataset.unique` here would add a full groupby shuffle only to
+    # produce the very set the driver is about to hold anyway.
     def id_column(t: pa.Table) -> pa.Table:
         both = pa.chunked_array(
             list(t["id_a"].chunks) + list(t["id_b"].chunks), type=id_type
         )
         return pa.table({"cid": both}).group_by("cid").aggregate([])
 
-    need = set(
-        pairs.map_batches(
-            id_column, batch_format="pyarrow", zero_copy_batch=True
-        ).unique("cid")
-    )
+    need: set = set()
+    for blk in pairs.map_batches(
+        id_column, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        need.update(blk["cid"].to_pylist())
     if not need:
         return empty_out()
     need_ref = ray.put(need)
@@ -410,12 +425,51 @@ def verify_jaccard_pairs(
             }
         )
 
+    def judge_table(t: pa.Table, blobs_a, blobs_b) -> pa.Table:
+        """Shared Jaccard kernel for both attach paths."""
+        jacc = np.empty(t.num_rows, dtype=np.float64)
+        for i, (ha, hb) in enumerate(zip(blobs_a, blobs_b)):
+            sa = np.frombuffer(ha or b"", dtype=np.uint64)
+            sb = np.frombuffer(hb or b"", dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jacc[i] = (inter / union) if union else 0.0
+        out = pa.table(
+            {"id_a": t["id_a"], "id_b": t["id_b"],
+             "jaccard": pa.array(jacc, pa.float64())}
+        )
+        return out.filter(pa.array(jacc >= threshold))
+
+    if len(need) <= broadcast_limit:
+        # small side: one pruned docs scan streams the candidate shingle
+        # blobs (~8 bytes/shingle × ≤ broadcast_limit docs), the map rides
+        # plasma once, and a single task pass judges the pair table — no
+        # joins, no extra barriers
+        sh_map: dict = {}
+        for blk in docs.map_batches(
+            shingle_rows, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            sh_map.update(
+                zip(blk["id_a"].to_pylist(), blk["hashes_a"].to_pylist())
+            )
+        sh_ref = ray.put(sh_map)
+
+        def judge_bcast(t: pa.Table) -> pa.Table:
+            m = ray.get(sh_ref)  # plasma-cached per node, not per batch
+            return judge_table(
+                t,
+                [m.get(i, b"") for i in t["id_a"].to_pylist()],
+                [m.get(i, b"") for i in t["id_b"].to_pylist()],
+            )
+
+        return pairs.map_batches(judge_bcast, batch_format="pyarrow")
+
     join_args = {
         "num_partitions": num_partitions,
         "aggregator_ray_remote_args": {"num_cpus": 0.25},
     }
-    # ONE pruned docs scan + shingle pass, materialized (candidate docs
-    # only — small by LSH design), feeds both join sides via a rename;
+    # big side: ONE pruned docs scan + shingle pass, materialized
+    # (candidate docs only), feeds both join sides via a rename;
     # pairs ⋈ shingles on id_a, then on id_b. The materialize() between
     # the joins is the two-live-hash-joins deadlock guard (see
     # q5_region_revenue) — a join is a shuffle barrier anyway.
@@ -429,22 +483,9 @@ def verify_jaccard_pairs(
     both = with_a.join(sh_b, "inner", on=("id_b",), **join_args)
 
     def judge(t: pa.Table) -> pa.Table:
-        a = t["id_a"]
-        b = t["id_b"]
-        jacc = np.empty(t.num_rows, dtype=np.float64)
-        for i, (ha, hb) in enumerate(
-            zip(t["hashes_a"].to_pylist(), t["hashes_b"].to_pylist())
-        ):
-            sa = np.frombuffer(ha or b"", dtype=np.uint64)
-            sb = np.frombuffer(hb or b"", dtype=np.uint64)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            jacc[i] = (inter / union) if union else 0.0
-        keep = jacc >= threshold
-        out = pa.table(
-            {"id_a": a, "id_b": b, "jaccard": pa.array(jacc, pa.float64())}
+        return judge_table(
+            t, t["hashes_a"].to_pylist(), t["hashes_b"].to_pylist()
         )
-        return out.filter(pa.array(keep))
 
     return both.map_batches(judge, batch_format="pyarrow")
 

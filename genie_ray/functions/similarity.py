@@ -27,10 +27,26 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _vec_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """(n, dim) matrix from a fixed-dim ``list<T>`` column via the Arrow
+    values buffer — no per-row ``to_pylist`` materialization, and the
+    values dtype is preserved (int64 signatures must NOT round-trip
+    through float64, which is lossy above 2^53). ``flatten()`` honors
+    list offsets, so sliced/chunked arrays are safe; a ragged column (not
+    an embedding/signature table) raises on the reshape."""
+    arr = col.combine_chunks()
+    if len(arr) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(arr), -1)
+
+
 class BruteForceTopK:
-    """Actor-pool stage: queries fetched from plasma once per actor; each
-    batch contributes its local top-k per query (k × num_queries rows),
-    merged by a final small aggregation."""
+    """Per-batch kernel: queries fetched from plasma once per worker
+    process (cached-task pattern — state is one plasma get, so tasks beat
+    an actor pool's per-execution spin-up); each batch contributes its
+    local top-k per query (k × num_queries rows), merged by a final small
+    aggregation."""
 
     def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
         q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
@@ -41,7 +57,7 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].to_pylist())
-        vecs = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        vecs = _vec_matrix(batch[self.vec_col]).astype(np.float64, copy=False)
         if len(ids) == 0:
             return pa.table(
                 {"query_id": pa.array([], pa.int64()), self.id_col: pa.array([], pa.int64()),
@@ -80,6 +96,29 @@ def _merge_topk(t: pa.Table, k: int, id_col: str) -> pa.Table:
     return t.filter(pc.less_equal(t["rank"], k))
 
 
+# one live kernel per worker process: topk state is a single plasma tuple,
+# so only the most recent entry is kept (same bounded-cache rationale as
+# q5_region_revenue's _DIM_CACHE — repeated queries must not pin old state)
+_KERNEL_CACHE: dict = {}
+
+
+def _cached_kernel(cls, key: tuple, **ctor):
+    fn = _KERNEL_CACHE.get(key)
+    if fn is None:
+        _KERNEL_CACHE.clear()
+        fn = _KERNEL_CACHE[key] = cls(**ctor)
+    return fn
+
+
+def _brute_topk_batch(batch: pa.Table, queries_ref=None, k=10,
+                      id_col="vec_id", vec_col="embedding") -> pa.Table:
+    fn = _cached_kernel(
+        BruteForceTopK, ("bf", queries_ref.hex(), k, id_col, vec_col),
+        queries_ref=queries_ref, k=k, id_col=id_col, vec_col=vec_col,
+    )
+    return fn(batch)
+
+
 def brute_force_topk(
     ds: ray.data.Dataset,
     query_ids: np.ndarray,
@@ -87,17 +126,15 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    concurrency: int = 2,
 ) -> pd.DataFrame:
     """Global cosine top-k for each query. Returns (query_id, vec_id,
     cosine, rank) with deterministic (-cosine, vec_id) ordering."""
     queries_ref = ray.put((np.asarray(query_ids), _unit(np.asarray(query_mat, dtype=np.float64))))
     partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k,
-                               "id_col": id_col, "vec_col": vec_col},
+        _brute_topk_batch,
+        fn_kwargs={"queries_ref": queries_ref, "k": k,
+                   "id_col": id_col, "vec_col": vec_col},
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
     # final merge: tiny (num_batches × q × k rows), so a groupby SHUFFLE is
@@ -180,8 +217,9 @@ def kmeans_centroids(
 
 
 class IVFTopK:
-    """Actor stage for IVF search: per batch, assign vectors to centroids,
-    and score a vector only against the queries that probe its centroid."""
+    """Per-batch IVF kernel (cached-task, see BruteForceTopK): assign
+    vectors to centroids, and score a vector only against the queries that
+    probe its centroid."""
 
     def __init__(self, state_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
         self.query_ids, self.query_mat, self.centroids, self.probe = ray.get(state_ref)
@@ -191,7 +229,7 @@ class IVFTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].to_pylist())
-        vecs = _unit(np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64))
+        vecs = _unit(_vec_matrix(batch[self.vec_col]).astype(np.float64, copy=False))
         o_q, o_id, o_s = [], [], []
         if len(ids):
             assign = np.argmax(vecs @ self.centroids.T, axis=1)
@@ -226,7 +264,6 @@ def ivf_topk(
     sample_size: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    concurrency: int = 2,
     seed: int = 42,
 ) -> pd.DataFrame:
     """Approximate top-k: centroids from a deterministic sample, each query
@@ -246,13 +283,15 @@ def ivf_topk(
     qmat = _unit(np.asarray(query_mat, dtype=np.float64))
     probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
     state_ref = ray.put((np.asarray(query_ids), qmat, cents, probe))
-    partials = ds.map_batches(
-        IVFTopK,
-        fn_constructor_kwargs={"state_ref": state_ref, "k": k,
-                               "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+
+    def ivf_batch(batch: pa.Table) -> pa.Table:
+        fn = _cached_kernel(
+            IVFTopK, ("ivf", state_ref.hex(), k, id_col, vec_col),
+            state_ref=state_ref, k=k, id_col=id_col, vec_col=vec_col,
+        )
+        return fn(batch)
+
+    partials = ds.map_batches(ivf_batch, batch_format="pyarrow")
 
     out = partials.repartition(1).map_batches(
         _merge_topk, fn_kwargs={"k": k, "id_col": id_col},

@@ -255,16 +255,27 @@ def fingerprints(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datas
     )
 
 
-def lang_id(ds: ray.data.Dataset, text_col: str = "text", concurrency=(2, 8)) -> ray.data.Dataset:
-    # scoring is one searchsorted+gather per doc (~50 µs). Autoscaling
-    # actor pool: a fixed pool larger than the node's CPUs would never
-    # schedule (observed deadlock at num_cpus=4), while min=2 schedules on
-    # small nodes and grows to eat idle CPUs on big ones.
+# LangId state is deterministic and costs ~1 ms to build, so the stage runs
+# as plain tasks with a per-worker-process cache instead of an actor pool:
+# an actor pool pays ~1 s spin-up per pipeline execution (new processes,
+# fresh imports) where warm task workers start immediately, and tasks never
+# hit the small-node pool-scheduling deadlocks (see q5_region_revenue).
+# Actor pools remain the right shape for EXPENSIVE state (the extractor's
+# model + trie); this is the documented boundary between the two patterns.
+_LANGID_CACHE: dict = {}
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    scorer = _LANGID_CACHE.get(text_col)
+    if scorer is None:
+        _LANGID_CACHE.clear()  # only one text_col live per pipeline
+        scorer = _LANGID_CACHE[text_col] = LangId(text_col)
+    return scorer(batch)
+
+
+def lang_id(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     return ds.map_batches(
-        LangId,
-        fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow",
-        concurrency=concurrency,
+        lang_id_batch, fn_kwargs={"text_col": text_col}, batch_format="pyarrow"
     )
 
 

@@ -4,6 +4,7 @@ multimodal plumbing, language ID."""
 
 import numpy as np
 import pyarrow as pa
+import pandas as pd
 import pytest
 import ray.data
 
@@ -64,6 +65,24 @@ def test_minhash_lsh_finds_planted_near_dups(docs_ds):
     assert (30, 31) in pairs and (31, 32) in pairs  # near-dup pair
     # unrelated docs don't pair
     assert all(a >= 30 for a, b in pairs)
+
+
+def test_jaccard_verify_broadcast_matches_join_path(docs_ds):
+    """The size-threshold shingle-attach switch must not change results:
+    broadcast_limit=0 forces the hash-join path, default takes broadcast."""
+    sigs = docs_ds.map_batches(minhash_signatures_batch, batch_format="pyarrow")
+    cands = minhash_lsh_candidates(sigs).materialize()
+    key = ["id_a", "id_b"]
+    bcast = (
+        verify_jaccard_pairs(cands, docs_ds, threshold=0.5)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    joined = (
+        verify_jaccard_pairs(cands, docs_ds, threshold=0.5, broadcast_limit=0)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bcast, joined, check_exact=True)
+    assert len(bcast) > 0
 
 
 def test_minhash_deterministic(docs_ds):
