@@ -335,6 +335,34 @@ def _q_fingerprint(sf_dir: str):
     return fingerprints(ds).select_columns(["doc_id", "md5"])
 
 
+def _q_repetition(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.text import repetition_scores
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return repetition_scores(ds).select_columns(
+        ["doc_id", "top_bigram_frac", "dup_trigram_frac", "dup_line_frac"]
+    )
+
+
+def _q_pii_scrub(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.text import pii_scrub
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return pii_scrub(ds).select_columns(
+        ["doc_id", "n_emails", "n_ipv4", "n_phones", "text_scrubbed"]
+    )
+
+
 def _q_exact_dedup(sf_dir: str):
     import os
 
@@ -606,6 +634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
+        "repetition": _q_repetition,
+        "pii_scrub": _q_pii_scrub,
         "explode_sentences": _q_explode_sentences,
         "explode_windows": _q_explode_windows,
         # dedup family
@@ -824,6 +854,62 @@ def oracle_sql() -> dict[str, str]:
             "FROM toks"
         ),
         "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        # Gopher-style repetition signals (functions/text.py
+        # repetition_score_batch): \S+ tokens, lead() windows for the
+        # n-grams, no case folding — byte-identical to the polars kernel
+        "repetition": (
+            "WITH w AS (SELECT doc_id, "
+            "  unnest(regexp_extract_all(text, '\\S+')) AS w, "
+            "  generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS ord "
+            "  FROM documents), "
+            "seq AS (SELECT doc_id, w, "
+            "  lead(w, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2, "
+            "  lead(w, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS w3 "
+            "  FROM w), "
+            "bgc AS (SELECT doc_id, w || ' ' || w2 AS g, count(*) AS c "
+            "  FROM seq WHERE w2 IS NOT NULL GROUP BY 1, 2), "
+            "bga AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac "
+            "  FROM bgc GROUP BY doc_id), "
+            "tgc AS (SELECT doc_id, w || ' ' || w2 || ' ' || w3 AS g, "
+            "  count(*) AS c FROM seq WHERE w3 IS NOT NULL GROUP BY 1, 2), "
+            "tga AS (SELECT doc_id, "
+            "  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) "
+            "  AS dup_trigram_frac FROM tgc GROUP BY doc_id), "
+            "lc AS (SELECT doc_id, l, count(*) AS c FROM ("
+            "  SELECT doc_id, unnest(string_split(text, chr(10))) AS l "
+            "  FROM documents) WHERE l <> '' GROUP BY 1, 2), "
+            "la AS (SELECT doc_id, "
+            "  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) "
+            "  AS dup_line_frac FROM lc GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "  COALESCE(bga.top_bigram_frac, 0.0) AS top_bigram_frac, "
+            "  COALESCE(tga.dup_trigram_frac, 0.0) AS dup_trigram_frac, "
+            "  COALESCE(la.dup_line_frac, 0.0) AS dup_line_frac "
+            "FROM documents d "
+            "LEFT JOIN bga ON d.doc_id = bga.doc_id "
+            "LEFT JOIN tga ON d.doc_id = tga.doc_id "
+            "LEFT JOIN la ON d.doc_id = la.doc_id"
+        ),
+        # PII patterns shared verbatim with functions/text.py (both engines
+        # are RE2); counts over the original text, scrub order
+        # email → ipv4 → phone
+        "pii_scrub": (
+            "SELECT doc_id, "
+            "  len(regexp_extract_all(text, "
+            "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT "
+            "    AS n_emails, "
+            "  len(regexp_extract_all(text, "
+            "    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT "
+            "    AS n_ipv4, "
+            "  len(regexp_extract_all(text, "
+            "    '\\d{3}[-.]\\d{3}[-.]\\d{4}'))::BIGINT AS n_phones, "
+            "  regexp_replace(regexp_replace(regexpreplace_email, "
+            "    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+            "    '\\d{3}[-.]\\d{3}[-.]\\d{4}', '<PHONE>', 'g') AS text_scrubbed "
+            "FROM (SELECT doc_id, text, regexp_replace(text, "
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "  '<EMAIL>', 'g') AS regexpreplace_email FROM documents)"
+        ),
         # reference split regex `(?<=[.])\s` uses lookbehind (unsupported in
         # RE2); equivalent: mark each single whitespace following '.' with a
         # sentinel, then split on the sentinel

@@ -122,6 +122,127 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("sha256", pa.array(shas, pa.string()))
 
 
+def repetition_score_batch(
+    batch: pa.Table, text_col: str = "text"
+) -> pa.Table:
+    """Gopher/MassiveText-style repetition quality signals (Rae et al.
+    2021, §A1.1 — public filter family), per document:
+
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigrams (high → templated or looping text)
+    - ``dup_trigram_frac``: fraction of word trigrams whose trigram occurs
+      more than once (duplicate n-gram mass)
+    - ``dup_line_frac``: fraction of non-empty lines that are duplicates
+      of another line in the same document (boilerplate/navigation tell)
+
+    All three are batch-local polars group-bys over exploded token/line
+    frames — one vectorized pass, no per-row Python, no shuffle (per-doc
+    metrics are row-local by definition). Tokens are ``\\S+`` runs with NO
+    case folding, so the DuckDB oracle (regexp_extract_all + lead()
+    windows) matches byte-for-byte. Fractions are single int64→float64
+    divisions; docs with no bigrams/trigrams/lines score 0.0."""
+    import polars as pl
+
+    df = (
+        pl.from_arrow(batch[text_col])
+        .rename("t")
+        .to_frame()
+        .with_row_index("rid")
+    )
+    n = batch.num_rows
+    base = df.select("rid")
+
+    words = (
+        df.select("rid", w=pl.col("t").str.extract_all(r"\S+"))
+        .explode("w")
+        .drop_nulls("w")
+        .with_columns(
+            w2=pl.col("w").shift(-1).over("rid"),
+            w3=pl.col("w").shift(-2).over("rid"),
+        )
+    )
+    bg = (
+        words.drop_nulls("w2")
+        .with_columns(g=pl.col("w") + " " + pl.col("w2"))
+        .group_by(["rid", "g"])
+        .len()
+        .group_by("rid")
+        .agg(total=pl.col("len").sum(), mx=pl.col("len").max())
+    )
+    tg = (
+        words.drop_nulls("w3")
+        .with_columns(g=pl.col("w") + " " + pl.col("w2") + " " + pl.col("w3"))
+        .group_by(["rid", "g"])
+        .len()
+        .group_by("rid")
+        .agg(
+            total=pl.col("len").sum(),
+            dup=pl.col("len").filter(pl.col("len") > 1).sum(),
+        )
+    )
+    ln = (
+        df.select("rid", l=pl.col("t").str.split("\n"))
+        .explode("l")
+        .filter(pl.col("l") != "")
+        .group_by(["rid", "l"])
+        .len()
+        .group_by("rid")
+        .agg(
+            total=pl.col("len").sum(),
+            dup=pl.col("len").filter(pl.col("len") > 1).sum(),
+        )
+    )
+
+    def frac(j: pl.DataFrame, num: str) -> np.ndarray:
+        j = base.join(j, on="rid", how="left").sort("rid")
+        a = j[num].fill_null(0).to_numpy().astype(np.float64)
+        b = j["total"].fill_null(0).to_numpy().astype(np.float64)
+        return np.divide(a, b, out=np.zeros(n, dtype=np.float64), where=b > 0)
+
+    out = batch.append_column(
+        "top_bigram_frac", pa.array(frac(bg, "mx"), pa.float64())
+    )
+    out = out.append_column(
+        "dup_trigram_frac", pa.array(frac(tg, "dup"), pa.float64())
+    )
+    return out.append_column(
+        "dup_line_frac", pa.array(frac(ln, "dup"), pa.float64())
+    )
+
+
+# PII patterns: RE2 syntax shared verbatim by the Arrow kernels
+# (count_substring_regex / replace_substring_regex) and the DuckDB oracle
+# (regexp_extract_all / regexp_replace) — both engines ARE RE2, so the
+# match semantics are identical by construction. Scrub order is
+# email → ipv4 → phone (dotted quads must become <IP> before the
+# dot-separated phone pattern can see them); counts are over the
+# ORIGINAL text for all three. This is pattern-level detection (CCPA-ish
+# hygiene for web corpora), not NER — documented boundary.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Detect + redact pattern-PII: appends per-doc match counts and a
+    ``text_scrubbed`` column with matches replaced by <EMAIL>/<IP>/<PHONE>
+    tokens. Pure Arrow RE2 kernels — zero Python per row."""
+    text = batch[text_col]
+
+    def count(pat: str) -> pa.Array:
+        return pc.fill_null(
+            pc.cast(pc.count_substring_regex(text, pat), pa.int64()), 0
+        )
+
+    scrubbed = pc.replace_substring_regex(text, PII_EMAIL, "<EMAIL>")
+    scrubbed = pc.replace_substring_regex(scrubbed, PII_IPV4, "<IP>")
+    scrubbed = pc.replace_substring_regex(scrubbed, PII_PHONE, "<PHONE>")
+    out = batch.append_column("n_emails", count(PII_EMAIL))
+    out = out.append_column("n_ipv4", count(PII_IPV4))
+    out = out.append_column("n_phones", count(PII_PHONE))
+    return out.append_column("text_scrubbed", scrubbed)
+
+
 def rolling_fingerprint_batch(
     batch: pa.Table, text_col: str = "text", window: int = 8, num_features: int = 4
 ) -> pa.Table:
@@ -252,6 +373,20 @@ def quality_scores(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dat
 def fingerprints(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     return ds.map_batches(
         fingerprint_batch, fn_kwargs={"text_col": text_col}, batch_format="pyarrow"
+    )
+
+
+def repetition_scores(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(
+        repetition_score_batch, fn_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+    )
+
+
+def pii_scrub(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(
+        pii_scrub_batch, fn_kwargs={"text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
 

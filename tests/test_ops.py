@@ -174,6 +174,46 @@ def test_multimodal_deterministic():
     assert fa.equals(fb)
 
 
+def test_repetition_scores_planted():
+    from genie_ray.functions.text import repetition_score_batch
+
+    t = pa.table({"text": pa.array([
+        "a b a b a b c d",                        # 'a b' 3× of 7 bigrams
+        "x y z x y z x y z",                      # every trigram window repeats
+        "nav\nbody one\nnav\nbody two\nnav\n",    # 'nav' dup lines
+        "",                                       # no tokens, no lines
+        "single",                                 # no bigrams
+    ], pa.string())})
+    out = repetition_score_batch(t)
+    top = out["top_bigram_frac"].to_pylist()
+    tri = out["dup_trigram_frac"].to_pylist()
+    lin = out["dup_line_frac"].to_pylist()
+    assert abs(top[0] - 3 / 7) < 1e-12
+    assert tri[1] == 1.0  # x y z / y z x / z x y all repeat
+    assert abs(lin[2] - 3 / 5) < 1e-12  # 3 'nav' of 5 non-empty lines
+    assert top[3] == tri[3] == lin[3] == 0.0
+    assert top[4] == 0.0
+
+
+def test_pii_scrub_planted():
+    from genie_ray.functions.text import pii_scrub_batch
+
+    t = pa.table({"text": pa.array([
+        "write bob.smith+x@corp-mail.co.uk from 10.0.0.1 or call 555-123-4567",
+        "dotted phone 123.456.7890 is not an ip; 1.2.3.4 is",
+        "clean text stays clean",
+    ], pa.string())})
+    out = pii_scrub_batch(t)
+    assert out["n_emails"].to_pylist() == [1, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [1, 1, 0]
+    assert out["n_phones"].to_pylist() == [1, 1, 0]
+    scrubbed = out["text_scrubbed"].to_pylist()
+    assert scrubbed[0] == "write <EMAIL> from <IP> or call <PHONE>"
+    # ipv4 scrub runs before phone so the dotted quad is already <IP>
+    assert scrubbed[1] == "dotted phone <PHONE> is not an ip; <IP> is"
+    assert scrubbed[2] == "clean text stays clean"
+
+
 def test_lang_id_heuristic():
     t = pa.table(
         {
