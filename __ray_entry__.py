@@ -363,6 +363,42 @@ def _q_pii_scrub(sf_dir: str):
     )
 
 
+def _q_top_terms(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.corpus import top_terms
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+    return top_terms(ds, k=25)
+
+
+def _q_len_quantiles(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.corpus import int_quantiles
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["n_chars"])
+    return int_quantiles(ds, "n_chars")
+
+
+def _q_pack_sequences(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.corpus import pack_sequences
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return pack_sequences(ds, budget=512, num_groups=8)
+
+
 def _q_exact_dedup(sf_dir: str):
     import os
 
@@ -636,6 +672,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "repetition": _q_repetition,
         "pii_scrub": _q_pii_scrub,
+        # corpus statistics + packing
+        "top_terms": _q_top_terms,
+        "len_quantiles": _q_len_quantiles,
+        "pack_sequences": _q_pack_sequences,
         "explode_sentences": _q_explode_sentences,
         "explode_windows": _q_explode_windows,
         # dedup family
@@ -854,6 +894,42 @@ def oracle_sql() -> dict[str, str]:
             "FROM toks"
         ),
         "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        # corpus stats: shared \S+ tokenization with functions/corpus.py;
+        # deterministic (n DESC, term ASC) tie-break both sides
+        "top_terms": (
+            "SELECT term, n, row_number() OVER (ORDER BY n DESC, term) "
+            "  AS rank FROM ("
+            "  SELECT w AS term, count(*)::BIGINT AS n FROM ("
+            "    SELECT unnest(regexp_extract_all(text, '\\S+')) AS w "
+            "    FROM documents) GROUP BY w) "
+            "ORDER BY n DESC, term LIMIT 25"
+        ),
+        # quantile_disc semantics probed: idx = max(0, ceil(q*n) - 1)
+        "len_quantiles": (
+            "SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q, "
+            "unnest(quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]))"
+            "::BIGINT AS value FROM documents"
+        ),
+        # greedy packing replayed as a recursive CTE: same (fill + n > B)
+        # recurrence as functions/corpus.py pack_group, per id%8 stream
+        "pack_sequences": (
+            "WITH RECURSIVE d AS ("
+            "  SELECT doc_id, doc_id % 8 AS grp, "
+            "    len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tok, "
+            "    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) "
+            "      AS rn FROM documents), "
+            "rec AS ("
+            "  SELECT grp, rn, doc_id, n_tok, 0::BIGINT AS bin, "
+            "    n_tok AS fill FROM d WHERE rn = 1 "
+            "  UNION ALL "
+            "  SELECT d.grp, d.rn, d.doc_id, d.n_tok, "
+            "    CASE WHEN rec.fill + d.n_tok > 512 THEN rec.bin + 1 "
+            "      ELSE rec.bin END, "
+            "    CASE WHEN rec.fill + d.n_tok > 512 THEN d.n_tok "
+            "      ELSE rec.fill + d.n_tok END "
+            "  FROM rec JOIN d ON d.grp = rec.grp AND d.rn = rec.rn + 1) "
+            "SELECT grp, doc_id, n_tok, bin FROM rec"
+        ),
         # Gopher-style repetition signals (functions/text.py
         # repetition_score_batch): \S+ tokens, lead() windows for the
         # n-grams, no case folding — byte-identical to the polars kernel

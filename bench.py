@@ -155,6 +155,7 @@ def run_query_suite(sf_dir: str) -> dict:
         "group_agg", "join_enrich", "window_tumbling", "anti_join_unique",
         "token_counts", "quality", "lang_id", "fingerprint",
         "repetition", "pii_scrub",
+        "top_terms", "len_quantiles", "pack_sequences",
         "exact_dedup", "simhash", "simhash_dup_pairs", "minhash_dup_pairs",
         "near_dup_cosine", "ann_topk", "ivf_topk",
         "sample_filter_drop", "ignore_relinearize", "explode_windows",

@@ -1,0 +1,198 @@
+"""Corpus-level statistics and sequence packing for training-data
+pipelines.
+
+Three operators, each demonstrating a distinct distributed shape:
+
+- ``top_terms``: global top-k vocabulary — batch-local term counts
+  (partial aggregation) → ONE bucketed shuffle on a term-hash (complete
+  per-term totals within a bucket by construction) → per-bucket top-k →
+  tiny global merge. The wide step moves (term, count) partials, never
+  raw text, and the bucket count is the scale knob.
+- ``int_quantiles``: EXACT quantiles of a bounded-domain integer column
+  via a distributed value-count histogram — batch-local Arrow
+  ``group_by`` counts → one small ``groupby(value).sum`` (cardinality =
+  #distinct values, not #rows) → driver-side cumulative walk over the
+  tiny histogram. Exact at any corpus size because integer domains
+  (doc lengths, token counts) have bounded cardinality.
+- ``pack_sequences``: greedy fixed-budget sequence packing (the
+  standard LLM pretraining step) — docs are hash-grouped into G
+  independent streams, each stream packs sequentially by doc_id order.
+  Packing is inherently a sequential scan (bin state depends on every
+  prior doc), so the parallelism unit is the GROUP — exactly how real
+  packers shard work — and G scales with the cluster. The per-doc work
+  inside a group is one integer add+compare.
+
+All three are deterministic and DuckDB-oracle-checked (the packer via a
+recursive CTE replaying the same greedy recurrence).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+# shared tokenization with the oracle: \S+ runs, no case folding
+TOKEN_RE = r"\S+"
+
+
+def top_terms(
+    ds: ray.data.Dataset,
+    k: int = 50,
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Global top-k terms by occurrence count, ties broken by term
+    (count DESC, term ASC — matches ``ORDER BY n DESC, term LIMIT k``).
+    Returns a Dataset of (term, n, rank)."""
+    import polars as pl
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        """Partial aggregation: per-batch term counts + stable hash
+        bucket. The shuffle that follows moves one row per DISTINCT term
+        per batch — bounded by vocabulary, not corpus size."""
+        c = (
+            pl.from_arrow(t[text_col])
+            .rename("t")
+            .to_frame()
+            .select(term=pl.col("t").str.extract_all(TOKEN_RE))
+            .explode("term")
+            .drop_nulls("term")
+            .group_by("term")
+            .len(name="n")
+        )
+        if len(c) == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int32()),
+                 "term": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        bucket = (
+            c["term"].hash(seed=7).to_numpy().astype(np.uint64)
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {"bucket": pa.array(bucket),
+             "term": c["term"].to_arrow(),
+             "n": c["n"].cast(pl.Int64).to_arrow()}
+        )
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        """One shuffle bucket: term totals here are globally complete
+        (term→bucket is deterministic), so a local top-k is safe."""
+        agg = g.group_by("term").aggregate([("n", "sum")])
+        order = agg.sort_by([("n_sum", "descending"), ("term", "ascending")])
+        return order.slice(0, k).rename_columns(["term", "n"])
+
+    def global_merge(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("n", "descending"), ("term", "ascending")]).slice(0, k)
+        return t.append_column(
+            "rank", pa.array(np.arange(1, t.num_rows + 1), pa.int64())
+        )
+
+    partials = ds.map_batches(local_counts, batch_format="pyarrow")
+    per_bucket = partials.groupby(
+        "bucket", num_partitions=max(1, num_buckets // 8)
+    ).map_groups(bucket_topk, batch_format="pyarrow")
+    # k × num_buckets rows at most — a single tiny merge task
+    return per_bucket.repartition(1).map_batches(
+        global_merge, batch_format="pyarrow", batch_size=None
+    )
+
+
+def int_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> pa.Table:
+    """Exact discrete quantiles of an integer column, DuckDB
+    ``quantile_disc`` semantics (probed: idx = max(0, ceil(q·n) − 1) into
+    the sorted values). Distributed as a value-count histogram: the only
+    shuffle is ``groupby(col).sum`` over #distinct values; the driver
+    walks the tiny sorted histogram. Returns a (q, value) pa.Table."""
+
+    def local_hist(t: pa.Table) -> pa.Table:
+        return (
+            t.select([col])
+            .group_by(col)
+            .aggregate([([], "count_all")])
+            .rename_columns([col, "cnt"])
+        )
+
+    hist = (
+        ds.map_batches(local_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col)
+        .sum("cnt")
+        .to_pandas()
+        .sort_values(col)
+    )
+    vals = hist[col].to_numpy()
+    cnts = hist["sum(cnt)"].to_numpy().astype(np.int64)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        idx = max(0, math.ceil(q * n) - 1) if n else 0
+        # first histogram row whose cumulative count exceeds idx
+        v = int(vals[np.searchsorted(cum, idx, side="right")]) if n else None
+        out_q.append(float(q))
+        out_v.append(v)
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.int64())}
+    )
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    budget: int = 512,
+    num_groups: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Greedy sequence packing: assign each document to a training
+    sequence (bin) of at most ``budget`` whitespace tokens, never
+    splitting a document (an oversized doc gets its own bin). Docs are
+    routed to ``num_groups`` independent streams by ``id % num_groups``
+    and packed in id order within the stream, so the result is
+    deterministic and partition-invariant; streams are the parallelism
+    unit and their count scales with the cluster (a real packer's
+    per-shard layout). Returns (grp, doc_id, n_tok, bin) rows.
+
+    The per-group scan is a tight integer loop — packing is inherently
+    sequential (bin state depends on every prior doc), so there is no
+    vectorized form; the loop does one add+compare per doc over numpy
+    arrays, and all token counting stays in the vectorized Arrow stage."""
+    import pyarrow.compute as pc
+
+    def tokens(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.fill_null(pc.count_substring_regex(t[text_col], TOKEN_RE), 0),
+            pa.int64(),
+        )
+        ids = t[id_col]
+        grp = pc.cast(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, num_groups), num_groups)),
+            pa.int64(),
+        )
+        return pa.table({"grp": grp, id_col: ids, "n_tok": n_tok})
+
+    def pack_group(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(id_col, "ascending")])
+        toks = g["n_tok"].to_numpy()
+        bins = np.empty(len(toks), dtype=np.int64)
+        b, fill = 0, 0
+        for i, nt in enumerate(toks):
+            if fill and fill + nt > budget:
+                b += 1
+                fill = 0
+            fill += int(nt)
+            bins[i] = b
+        return g.append_column("bin", pa.array(bins, pa.int64()))
+
+    return (
+        ds.map_batches(tokens, batch_format="pyarrow")
+        .groupby("grp", num_partitions=max(1, num_groups // 2))
+        .map_groups(pack_group, batch_format="pyarrow")
+    )

@@ -214,6 +214,50 @@ def test_pii_scrub_planted():
     assert scrubbed[2] == "clean text stays clean"
 
 
+def test_top_terms_counts_and_tiebreak(ray_session):
+    from genie_ray.functions.corpus import top_terms
+
+    t = pa.table({"text": pa.array(
+        ["b a a", "b c", "", "c d"], pa.string())})
+    out = top_terms(ray.data.from_arrow(t), k=3).to_pandas()
+    # a:2 b:2 c:2 d:1 → tie at 2 broken alphabetically
+    assert out.sort_values("rank")["term"].tolist() == ["a", "b", "c"]
+    assert out["n"].tolist() == [2, 2, 2]
+
+
+def test_int_quantiles_exact(ray_session):
+    from genie_ray.functions.corpus import int_quantiles
+
+    vals = list(range(1, 11))
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    out = int_quantiles(ds, "x", qs=(0.25, 0.5, 0.75, 0.9)).to_pandas()
+    # DuckDB quantile_disc oracle values for 1..10 (probed semantics)
+    assert out["value"].tolist() == [3, 5, 8, 9]
+
+
+def test_pack_sequences_semantics(ray_session):
+    from genie_ray.functions.corpus import pack_sequences
+
+    # one group; token counts 3,3,3,10,2 with budget 6:
+    # [3,3] | [3] (10 won't fit) | [10] oversized own bin | [2]
+    texts = ["a b c", "d e f", "g h i", " ".join("w" * 1) * 0 + " ".join(["t"] * 10), "y z"]
+    t = pa.table({"doc_id": pa.array([0, 8, 16, 24, 32], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (
+        pack_sequences(ray.data.from_arrow(t), budget=6, num_groups=8)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out["grp"].unique().tolist() == [0]
+    assert out["bin"].tolist() == [0, 0, 1, 2, 3]
+    # determinism under different partitioning
+    out2 = (
+        pack_sequences(
+            ray.data.from_arrow(t).repartition(3), budget=6, num_groups=8
+        ).to_pandas().sort_values("doc_id")
+    )
+    assert out2["bin"].tolist() == out["bin"].tolist()
+
+
 def test_lang_id_heuristic():
     t = pa.table(
         {
