@@ -399,6 +399,69 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(ds, budget=512, num_groups=8)
 
 
+def _mod(arr, m: int):
+    """Integer modulo for pyarrow arrays (no modulo kernel in pyarrow):
+    x − (x ÷ m)·m with integer division."""
+    import pyarrow.compute as pc
+
+    return pc.subtract(arr, pc.multiply(pc.divide(arr, m), m))
+
+
+def _q_decontaminate(sf_dir: str):
+    """8-gram benchmark-overlap decontamination: docs with doc_id % 97
+    == 0 act as the held-out benchmark; every other doc is flagged if it
+    shares any 8-gram with them."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from genie_ray.functions.corpus import benchmark_ngram_list, decontaminate
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    is_bench = lambda t: pc.equal(_mod(t["doc_id"], 97), 0)  # noqa: E731
+    bench = docs.map_batches(
+        lambda t: t.filter(is_bench(t)), batch_format="pyarrow"
+    )
+    grams_ref = ray.put(benchmark_ngram_list(bench, n=8))
+    corpus = docs.map_batches(
+        lambda t: t.filter(pc.invert(is_bench(t))), batch_format="pyarrow"
+    )
+    return decontaminate(corpus, grams_ref, n=8)
+
+
+def _q_domain_mix(sf_dir: str):
+    """Deterministic domain-mixture resampling: source srcK keeps
+    (K % 4 + 1)/4 of its docs by splitmix64(doc_id) threshold."""
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.sampling import weighted_sample
+
+    rates = {f"src{i}": (i % 4 + 1) / 4 for i in range(20)}
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    return weighted_sample(ds, rates)
+
+
+def _q_split_assign(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment by doc_id hash."""
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.sampling import assign_splits
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    return assign_splits(ds)
+
+
 def _q_exact_dedup(sf_dir: str):
     import os
 
@@ -676,6 +739,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "len_quantiles": _q_len_quantiles,
         "pack_sequences": _q_pack_sequences,
+        # curation: decontamination + deterministic sampling
+        "decontaminate": _q_decontaminate,
+        "domain_mix": _q_domain_mix,
+        "split_assign": _q_split_assign,
         "explode_sentences": _q_explode_sentences,
         "explode_windows": _q_explode_windows,
         # dedup family
@@ -710,6 +777,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from genie_ray.functions.sampling import splitmix64_sql as _smx
+
     paths = _golden()  # side effect: artifacts exist before any SQL runs
     triples = paths["triples"]
     samples = paths["samples"]
@@ -929,6 +998,40 @@ def oracle_sql() -> dict[str, str]:
             "      ELSE rec.fill + d.n_tok END "
             "  FROM rec JOIN d ON d.grp = rec.grp AND d.rn = rec.rn + 1) "
             "SELECT grp, doc_id, n_tok, bin FROM rec"
+        ),
+        # 8-gram benchmark-overlap decontamination: same \S+ tokens and
+        # gram construction as corpus._ngram_frame; bench = doc_id%97==0
+        "decontaminate": (
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_extract_all(text, '\\S+') AS w FROM documents), "
+            "pos AS (SELECT doc_id, w, "
+            "  unnest(generate_series(1, greatest(len(w)-7, 0))) AS i "
+            "  FROM toks), "
+            "grams AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g "
+            "  FROM pos), "
+            "hits AS (SELECT doc_id, count(*)::BIGINT AS n_hits FROM grams "
+            "  WHERE doc_id % 97 <> 0 AND g IN "
+            "    (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0) "
+            "  GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits, "
+            "  coalesce(h.n_hits, 0) > 0 AS contaminated "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d "
+            "LEFT JOIN hits h USING (doc_id)"
+        ),
+        # deterministic splitmix64 sampling — the SQL hash is generated
+        # by the SAME module as the engine's numpy hash (bit parity
+        # asserted in tests): srcK keeps (K%4+1)/4 → threshold
+        # (K%4+1)·262144 of 2^20
+        "domain_mix": (
+            "SELECT doc_id, source FROM "
+            + _smx("doc_id, source", "documents", "doc_id")
+            + " WHERE h % 1048576 < "
+            "(CAST(substr(source, 4) AS INT) % 4 + 1) * 262144"
+        ),
+        "split_assign": (
+            "SELECT doc_id, source, CASE WHEN h % 10000 < 9000 THEN 'train' "
+            "WHEN h % 10000 < 9500 THEN 'val' ELSE 'test' END AS split FROM "
+            + _smx("doc_id, source", "documents", "doc_id")
         ),
         # Gopher-style repetition signals (functions/text.py
         # repetition_score_batch): \S+ tokens, lead() windows for the

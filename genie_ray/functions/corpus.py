@@ -144,6 +144,93 @@ def int_quantiles(
     )
 
 
+def _ngram_frame(t: pa.Table, n: int, id_col: str, text_col: str):
+    """(id, g) polars frame of all word n-grams per row — tokens via the
+    shared ``TOKEN_RE`` scan, grams via n−1 window shifts over the
+    exploded token list (fully vectorized; `concat_str` nulls out the
+    tail positions that lack n successors, which are then dropped)."""
+    import polars as pl
+
+    ex = (
+        pl.from_arrow(t.select([id_col, text_col]))
+        .select(pl.col(id_col), tok=pl.col(text_col).str.extract_all(TOKEN_RE))
+        .explode("tok")
+        .drop_nulls("tok")
+    )
+    parts = [pl.col("tok").shift(-k).over(id_col) for k in range(n)]
+    return ex.select(
+        pl.col(id_col), g=pl.concat_str(parts, separator=" ")
+    ).drop_nulls("g")
+
+
+def benchmark_ngram_list(
+    bench: ray.data.Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "pa.Array":
+    """Distinct word n-grams of a BENCHMARK document set, collected to the
+    driver. Benchmarks are small by contract (an eval set is MBs, not TBs)
+    — per-batch gram extraction + distinct runs in the cluster and only
+    the distinct gram strings come back, to be ``ray.put`` once for
+    :func:`decontaminate`."""
+
+    def grams(t: pa.Table) -> pa.Table:
+        df = _ngram_frame(t, n, id_col, text_col)
+        return df.select("g").unique().to_arrow()
+
+    tab = pa.Table.from_pandas(
+        bench.map_batches(grams, batch_format="pyarrow").to_pandas().drop_duplicates()
+    )
+    return tab["g"].combine_chunks()
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    bench_grams_ref,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Benchmark decontamination: flag every corpus document containing
+    any word n-gram that also occurs in a benchmark/eval set (the
+    GPT-3/PaLM-style 8-gram overlap rule). Returns (id, n_hits,
+    contaminated) for every input row.
+
+    Scale shape: the benchmark gram set is broadcast ONCE via
+    ``ray.put`` and hydrated per actor in ``__init__``; the corpus side
+    is a pure streaming map — gram construction and membership are
+    vectorized polars kernels, each doc is judged entirely inside its own
+    batch, and nothing shuffles."""
+    import ray as _ray
+
+    class Scan:
+        def __init__(self):
+            import polars as pl
+
+            self.bench = pl.Series("g", _ray.get(bench_grams_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import polars as pl
+
+            hits = (
+                _ngram_frame(t, n, id_col, text_col)
+                .group_by(id_col)
+                .agg(n_hits=pl.col("g").is_in(self.bench).sum().cast(pl.Int64))
+            )
+            out = (
+                pl.from_arrow(t.select([id_col]))
+                .join(hits, on=id_col, how="left")
+                .with_columns(pl.col("n_hits").fill_null(0))
+                .with_columns(contaminated=pl.col("n_hits") > 0)
+            )
+            return out.to_arrow()
+
+    return ds.map_batches(
+        Scan, batch_format="pyarrow", concurrency=(2, 8), batch_size=256
+    )
+
+
 def pack_sequences(
     ds: ray.data.Dataset,
     budget: int = 512,

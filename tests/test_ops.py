@@ -258,6 +258,84 @@ def test_pack_sequences_semantics(ray_session):
     assert out2["bin"].tolist() == out["bin"].tolist()
 
 
+def test_splitmix64_matches_duckdb_bit_for_bit():
+    import duckdb
+
+    from genie_ray.functions.sampling import splitmix64, splitmix64_sql
+
+    ids = np.array([0, 1, 5, 2**31, 2**40 + 7, 2**62], dtype=np.uint64)
+    py = splitmix64(ids)
+    rel = "(SELECT unnest([" + ",".join(str(int(i)) for i in ids) + "])::UBIGINT AS x)"
+    q = "SELECT h FROM " + splitmix64_sql("x", rel, "x")
+    sql = duckdb.connect().execute(q).df()["h"].to_numpy().astype(np.uint64)
+    assert np.array_equal(py, sql)
+
+
+def test_weighted_sample_rates_and_determinism(ray_session):
+    from genie_ray.functions.sampling import splitmix64, weighted_sample
+
+    n = 4000
+    t = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()),
+         "source": pa.array(["a" if i % 2 else "b" for i in range(n)], pa.string())}
+    )
+    out = weighted_sample(
+        ray.data.from_arrow(t), {"a": 0.25, "b": 1.0}
+    ).to_pandas().sort_values("doc_id")
+    # b kept fully; a kept iff hash threshold — reproduce expectation
+    ids = np.arange(n, dtype=np.uint64)
+    h = splitmix64(ids) % np.uint64(1 << 20)
+    keep = np.where(ids % 2 == 1, h < (1 << 18), h < (1 << 20))
+    assert out["doc_id"].tolist() == ids[keep].tolist()
+    # unknown keys are dropped; partition-invariant
+    out2 = weighted_sample(
+        ray.data.from_arrow(t).repartition(7), {"a": 0.25}
+    ).to_pandas().sort_values("doc_id")
+    assert set(out2["source"]) == {"a"}
+    assert out2["doc_id"].tolist() == ids[(ids % 2 == 1) & (h < (1 << 18))].tolist()
+
+
+def test_assign_splits_partition_invariant(ray_session):
+    from genie_ray.functions.sampling import assign_splits
+
+    t = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+    a = assign_splits(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    b = (
+        assign_splits(ray.data.from_arrow(t).repartition(5))
+        .to_pandas().sort_values("doc_id")
+    )
+    assert a["split"].tolist() == b["split"].tolist()
+    frac = (a["split"] == "train").mean()
+    assert 0.85 < frac < 0.95  # ~90% by construction
+    with pytest.raises(ValueError):
+        assign_splits(ray.data.from_arrow(t), fractions=(("train", 0.5),))
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    import ray as _ray
+
+    from genie_ray.functions.corpus import benchmark_ngram_list, decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    clean = " ".join(f"w{i}" for i in range(20))
+    dirty = "prefix " + " ".join(bench_text.split()[1:9]) + " suffix"
+    short = "too short"
+    bench = ray.data.from_arrow(
+        pa.table({"doc_id": [0], "text": [bench_text]})
+    )
+    grams = benchmark_ngram_list(bench, n=8)
+    assert len(grams) == 3  # 10 tokens → 3 distinct 8-grams
+    corpus = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "text": [clean, dirty, short]})
+    )
+    out = (
+        decontaminate(corpus, _ray.put(grams), n=8)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out["contaminated"].tolist() == [False, True, False]
+    assert out["n_hits"].tolist() == [0, 1, 0]
+
+
 def test_lang_id_heuristic():
     t = pa.table(
         {
