@@ -462,6 +462,22 @@ def _q_split_assign(sf_dir: str):
     return assign_splits(ds)
 
 
+def _q_quality_topfrac(sf_dir: str):
+    """Per-source quality cut: keep the top half of each source's docs by
+    quantized stopword ratio (exact per-group discrete quantile)."""
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.corpus import stratified_quantile_filter
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    return stratified_quantile_filter(ds, frac=0.5)
+
+
 def _q_exact_dedup(sf_dir: str):
     import os
 
@@ -743,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "domain_mix": _q_domain_mix,
         "split_assign": _q_split_assign,
+        "quality_topfrac": _q_quality_topfrac,
         "explode_sentences": _q_explode_sentences,
         "explode_windows": _q_explode_windows,
         # dedup family
@@ -1032,6 +1049,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, CASE WHEN h % 10000 < 9000 THEN 'train' "
             "WHEN h % 10000 < 9500 THEN 'val' ELSE 'test' END AS split FROM "
             + _smx("doc_id, source", "documents", "doc_id")
+        ),
+        # per-source quality cut: same stopword-ratio float64 ops and
+        # floor(r*1e4+0.5) quantization as stratified_quantile_filter;
+        # keep ⇔ qi ≥ group quantile_disc(0.5), ties included
+        "quality_topfrac": (
+            "WITH toks AS (SELECT doc_id, source, "
+            "  CASE WHEN trim(text) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws "
+            "FROM documents), "
+            "s AS (SELECT doc_id, source, "
+            "  floor((CASE WHEN len(ws) = 0 THEN 0.0 ELSE "
+            f"  len(list_filter(ws, x -> lower(x) IN {_SQL_STOPWORDS})) "
+            "  / len(ws) END) * 10000 + 0.5)::BIGINT AS qi FROM toks), "
+            "thr AS (SELECT source, quantile_disc(qi, 0.5) AS t FROM s "
+            "  GROUP BY source) "
+            "SELECT s.doc_id, s.source, s.qi FROM s JOIN thr USING (source) "
+            "WHERE s.qi >= thr.t"
         ),
         # Gopher-style repetition signals (functions/text.py
         # repetition_score_batch): \S+ tokens, lead() windows for the

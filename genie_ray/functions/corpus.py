@@ -144,6 +144,92 @@ def int_quantiles(
     )
 
 
+def stratified_quantile_filter(
+    ds: ray.data.Dataset,
+    frac: float = 0.5,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mod: int = 10_000,
+) -> ray.data.Dataset:
+    """Keep the top ``frac`` of documents per group by quantized stopword
+    ratio (a FineWeb-style per-domain quality cut): a doc survives iff
+    its score ≥ the group's exact (1−frac) discrete quantile, ties
+    included.
+
+    Scale shape — the classic two-pass threshold plan, no wide shuffle:
+
+    1. score every doc (vectorized kernel), quantize to an integer in
+       [0, mod], and build a per-(group, score) COUNT histogram —
+       batch-local Arrow ``group_by`` partials, then one tiny
+       ``groupby`` whose cardinality is #groups × #distinct scores,
+       never #rows;
+    2. the driver walks the tiny histogram to the per-group
+       ``quantile_disc``-semantics threshold (idx = ⌈q·n⌉−1 into the
+       sorted values) and broadcasts a {group: thr} dict in the task
+       closure;
+    3. a second streaming pass recomputes the score and filters — at
+       corpus scale recomputing a cheap kernel beats materializing the
+       scored table between passes.
+
+    Quantization is ``floor(r·mod + 0.5)`` (half-up for the nonnegative
+    ratio), the same float64 ops as the DuckDB oracle, so thresholds and
+    verdicts are bit-identical."""
+    from genie_ray.functions.text import quality_score_batch
+
+    def scored(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        q = quality_score_batch(t, text_col=text_col)
+        r = q["stopword_ratio"].to_numpy(zero_copy_only=False)
+        qi = np.floor(r * mod + 0.5).astype(np.int64)
+        return pa.table(
+            {id_col: t[id_col], by: t[by], "qi": pa.array(qi, pa.int64())}
+        )
+
+    def local_hist(t: pa.Table) -> pa.Table:
+        return (
+            scored(t)
+            .select([by, "qi"])
+            .group_by([by, "qi"])
+            .aggregate([([], "count_all")])
+            .rename_columns([by, "qi", "cnt"])
+        )
+
+    hist = (
+        ds.map_batches(local_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([by, "qi"])
+        .sum("cnt")
+        .to_pandas()
+    )
+    thr = {}
+    for key, g in hist.groupby(by):
+        g = g.sort_values("qi")
+        cnts = g["sum(cnt)"].to_numpy().astype(np.int64)
+        cum = np.cumsum(cnts)
+        idx = max(0, math.ceil((1.0 - frac) * int(cum[-1])) - 1)
+        thr[key] = int(g["qi"].to_numpy()[np.searchsorted(cum, idx, side="right")])
+
+    keys = pa.array(list(thr), pa.string())
+    vals = np.array(list(thr.values()), dtype=np.int64)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = scored(t)
+        idx = pc.index_in(s[by], value_set=keys)
+        th = np.where(
+            idx.is_valid().to_numpy(zero_copy_only=False),
+            vals[np.minimum(
+                idx.fill_null(0).to_numpy(zero_copy_only=False), len(vals) - 1
+            )] if len(vals) else np.int64(0),
+            np.iinfo(np.int64).max,
+        )
+        return s.filter(pa.array(s["qi"].to_numpy(zero_copy_only=False) >= th))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _ngram_frame(t: pa.Table, n: int, id_col: str, text_col: str):
     """(id, g) polars frame of all word n-grams per row — tokens via the
     shared ``TOKEN_RE`` scan, grams via n−1 window shifts over the

@@ -336,6 +336,32 @@ def test_decontaminate_planted_overlap(ray_session):
     assert out["n_hits"].tolist() == [0, 1, 0]
 
 
+def test_stratified_quantile_filter_per_group(ray_session):
+    from genie_ray.functions.corpus import stratified_quantile_filter
+
+    # group g1: ratios 0, 1/3, 2/3, 1 → median threshold qi=3333 keeps 3;
+    # group g2: all identical → everyone ties at the threshold, all kept
+    texts_g1 = ["x y z", "the y z", "the a z", "the a of"]
+    texts_g2 = ["the b", "the c"]
+    t = pa.table(
+        {"doc_id": pa.array(range(6), pa.int64()),
+         "source": pa.array(["g1"] * 4 + ["g2"] * 2, pa.string()),
+         "text": pa.array(texts_g1 + texts_g2, pa.string())}
+    )
+    out = (
+        stratified_quantile_filter(ray.data.from_arrow(t), frac=0.5)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out[out["source"] == "g1"]["doc_id"].tolist() == [1, 2, 3]
+    assert out[out["source"] == "g2"]["doc_id"].tolist() == [4, 5]
+    # partition invariance
+    out2 = (
+        stratified_quantile_filter(ray.data.from_arrow(t).repartition(4), frac=0.5)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out2["doc_id"].tolist() == out["doc_id"].tolist()
+
+
 def test_lang_id_heuristic():
     t = pa.table(
         {
