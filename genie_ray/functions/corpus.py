@@ -284,37 +284,47 @@ def decontaminate(
     contaminated) for every input row.
 
     Scale shape: the benchmark gram set is broadcast ONCE via
-    ``ray.put`` and hydrated per actor in ``__init__``; the corpus side
-    is a pure streaming map — gram construction and membership are
+    ``ray.put`` and hydrated once per worker PROCESS (plasma read cached
+    in a module dict — a stateless task map, so no actor-pool startup is
+    paid per invocation and the stage fuses with the read); the corpus
+    side is a pure streaming map — gram construction and membership are
     vectorized polars kernels, each doc is judged entirely inside its own
     batch, and nothing shuffles."""
+
+    def scan(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        bench = _bench_grams(bench_grams_ref)
+        hits = (
+            _ngram_frame(t, n, id_col, text_col)
+            .group_by(id_col)
+            .agg(n_hits=pl.col("g").is_in(bench).sum().cast(pl.Int64))
+        )
+        return (
+            pl.from_arrow(t.select([id_col]))
+            .join(hits, on=id_col, how="left")
+            .with_columns(pl.col("n_hits").fill_null(0))
+            .with_columns(contaminated=pl.col("n_hits") > 0)
+            .to_arrow()
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# one broadcast gram set per worker process; keyed by ObjectRef so a new
+# benchmark evicts the old (only one is live per decontamination run)
+_BENCH_CACHE: dict = {}
+
+
+def _bench_grams(ref):
+    import polars as pl
     import ray as _ray
 
-    class Scan:
-        def __init__(self):
-            import polars as pl
-
-            self.bench = pl.Series("g", _ray.get(bench_grams_ref))
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            import polars as pl
-
-            hits = (
-                _ngram_frame(t, n, id_col, text_col)
-                .group_by(id_col)
-                .agg(n_hits=pl.col("g").is_in(self.bench).sum().cast(pl.Int64))
-            )
-            out = (
-                pl.from_arrow(t.select([id_col]))
-                .join(hits, on=id_col, how="left")
-                .with_columns(pl.col("n_hits").fill_null(0))
-                .with_columns(contaminated=pl.col("n_hits") > 0)
-            )
-            return out.to_arrow()
-
-    return ds.map_batches(
-        Scan, batch_format="pyarrow", concurrency=(2, 8), batch_size=256
-    )
+    key = ref.hex()
+    if key not in _BENCH_CACHE:
+        _BENCH_CACHE.clear()
+        _BENCH_CACHE[key] = pl.Series("g", _ray.get(ref))
+    return _BENCH_CACHE[key]
 
 
 def pack_sequences(
