@@ -462,6 +462,36 @@ def _q_split_assign(sf_dir: str):
     return assign_splits(ds)
 
 
+def _q_asof_join(sf_dir: str):
+    """Event enrichment: each click gets the user's most recent prior
+    (ts ≤ click ts) purchase's value and timestamp, or nulls."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from genie_ray.stages.asof import asof_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ev = ray.data.read_parquet(
+        path, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def typed(kind, cols):
+        return ev.map_batches(
+            lambda t, k=kind, c=cols: t.filter(
+                pc.equal(t["event_type"], k)
+            ).select(c),
+            batch_format="pyarrow",
+        )
+
+    clicks = typed("click", ["event_id", "user_id", "ts", "value"])
+    purchases = typed("purchase", ["user_id", "ts", "value"])
+    return asof_join(
+        clicks, purchases, "user_id", "ts", ["value", "ts"], suffix="_p"
+    )
+
+
 def _q_quality_topfrac(sf_dir: str):
     """Per-source quality cut: keep the top half of each source's docs by
     quantized stopword ratio (exact per-group discrete quantile)."""
@@ -760,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix": _q_domain_mix,
         "split_assign": _q_split_assign,
         "quality_topfrac": _q_quality_topfrac,
+        "asof_join": _q_asof_join,
         "explode_sentences": _q_explode_sentences,
         "explode_windows": _q_explode_windows,
         # dedup family
@@ -1049,6 +1080,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, CASE WHEN h % 10000 < 9000 THEN 'train' "
             "WHEN h % 10000 < 9500 THEN 'val' ELSE 'test' END AS split FROM "
             + _smx("doc_id, source", "documents", "doc_id")
+        ),
+        # as-of semantics are DuckDB-native; equal timestamps match
+        "asof_join": (
+            "SELECT l.event_id, l.user_id, l.ts, l.value, "
+            "  r.value AS value_p, r.ts AS ts_p "
+            "FROM (SELECT event_id, user_id, ts, value FROM events "
+            "  WHERE event_type = 'click') l "
+            "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events "
+            "  WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         # per-source quality cut: same stopword-ratio float64 ops and
         # floor(r*1e4+0.5) quantization as stratified_quantile_filter;

@@ -336,6 +336,37 @@ def test_decontaminate_planted_overlap(ray_session):
     assert out["n_hits"].tolist() == [0, 1, 0]
 
 
+def test_asof_join_semantics(ray_session):
+    from genie_ray.stages.asof import asof_join
+
+    left = ray.data.from_arrow(pa.table(
+        {"id": pa.array([1, 2, 3, 4], pa.int64()),
+         "k": pa.array(["u", "u", "u", "v"], pa.string()),
+         "ts": pa.array([5, 10, 20, 7], pa.int64())}
+    ))
+    right = ray.data.from_arrow(pa.table(
+        {"k": pa.array(["u", "u", "w"], pa.string()),
+         "ts": pa.array([10, 15, 1], pa.int64()),
+         "price": pa.array([1.5, 2.5, 9.9], pa.float64())}
+    ))
+    out = (
+        asof_join(left, right, "k", "ts", ["price", "ts"])
+        .to_pandas().sort_values("id")
+    )
+    # id1: no right ts <= 5 -> null; id2: equal ts matches (10 -> 1.5);
+    # id3: latest of {10,15} -> 2.5; id4: key v has no right rows -> null
+    assert out["price_r"].tolist()[1:3] == [1.5, 2.5]
+    assert np.isnan(out["price_r"].tolist()[0]) and np.isnan(out["price_r"].tolist()[3])
+    assert out["ts_r"].tolist()[1:3] == [10, 15]
+    # partition invariance
+    out2 = (
+        asof_join(
+            left.repartition(3), right.repartition(2), "k", "ts", ["price", "ts"]
+        ).to_pandas().sort_values("id")
+    )
+    assert out2["ts_r"].fillna(-1).tolist() == out["ts_r"].fillna(-1).tolist()
+
+
 def test_stratified_quantile_filter_per_group(ray_session):
     from genie_ray.functions.corpus import stratified_quantile_filter
 
