@@ -34,7 +34,7 @@ import ray.data
 from ..sources.documents import prepare_documents, read_documents
 from ..stages.canonicalize import canonicalize_batch
 from ..stages.dedup import merge_triple_partials, partial_triple_agg
-from ..stages.extract import ExtractTriples
+from ..stages.extract import ExtractTriples, extract_triples_task
 from ..stages.parse import parse_predictions_batch
 from ..state import lineage
 from ..state.broadcast import put_world
@@ -123,22 +123,35 @@ def extract_to_triples(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    gens = ds.map_batches(
-        ExtractTriples,
-        fn_constructor_kwargs={
-            "world_ref": world_ref,
-            "num_beams": cfg.num_beams,
-            "decode_mode": cfg.decode_mode,
-            "backend": cfg.backend,
-            "checkpoint_path": cfg.checkpoint_path,
-        },
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        # fixed pool: this stage is ~95% of the compute; a (1, N) autoscale
-        # ramp costs seconds. With the downstream stages stateless, the
-        # remaining CPUs serve the sort/write tasks.
-        concurrency=cfg.concurrency,
-    )
+    extract_kwargs = {
+        "world_ref": world_ref,
+        "num_beams": cfg.num_beams,
+        "decode_mode": cfg.decode_mode,
+        "backend": cfg.backend,
+        "checkpoint_path": cfg.checkpoint_path,
+    }
+    if cfg.decode_mode == "scan" and cfg.backend == "deterministic":
+        # cheap decode: stateless cached-task map (extractor built once
+        # per worker process) fuses with the read/sort maps and pays no
+        # actor-pool spin-up per run — the pool start alone cost ~1-2 s
+        # of a ~2.5 s warm pipeline at sf0.1
+        gens = ds.map_batches(
+            extract_triples_task,
+            fn_kwargs=extract_kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+    else:
+        gens = ds.map_batches(
+            ExtractTriples,
+            fn_constructor_kwargs=extract_kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            # fixed pool: this stage is ~95% of the compute; a (1, N)
+            # autoscale ramp costs seconds. With the downstream stages
+            # stateless, the remaining CPUs serve the sort/write tasks.
+            concurrency=cfg.concurrency,
+        )
 
     triples = gens.map_batches(
         parse_predictions_batch, batch_format="pyarrow", zero_copy_batch=True

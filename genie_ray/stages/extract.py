@@ -25,6 +25,32 @@ from ..core.extractor import select_top1
 from ..state.broadcast import get_world
 
 
+# per-process extractor cache for the stateless-task form of the stage
+# (scan decode): keyed by (world ref, generation params); one entry live
+_TASK_CACHE: dict = {}
+
+
+def extract_triples_task(batch: pa.Table, **kwargs) -> pa.Table:
+    """Stateless-task form of :class:`ExtractTriples` for cheap decode
+    modes: the extractor is built once per worker PROCESS (module cache,
+    same broadcast ``get_world`` path) instead of once per dedicated
+    actor, so the stage runs in the default task pool — it fuses with the
+    upstream read/sort maps, pays no actor-pool startup per pipeline run,
+    and never reserves CPUs from downstream stages. Use the actor pool
+    for heavy backends (beam decode, HF weights) where a bounded pool
+    with pinned state is worth its spin-up."""
+    ref = kwargs.get("world_ref")
+    key = (
+        ref.hex() if hasattr(ref, "hex") else id(ref),
+        tuple(sorted((k, v) for k, v in kwargs.items() if k != "world_ref")),
+    )
+    inst = _TASK_CACHE.get(key)
+    if inst is None:
+        _TASK_CACHE.clear()
+        inst = _TASK_CACHE[key] = ExtractTriples(**kwargs)
+    return inst(batch)
+
+
 class ExtractTriples:
     """Actor-pool callable: one World fetch per actor, per-batch generate."""
 
