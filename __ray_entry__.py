@@ -492,6 +492,42 @@ def _q_asof_join(sf_dir: str):
     )
 
 
+def _q_range_join(sf_dir: str):
+    """Attribution windows: every click inside [purchase ts, +30 min] of
+    the same user, one row per (click, window) pair."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from genie_ray.stages.asof import range_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ev = ray.data.read_parquet(
+        path, columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    half_hour = pa.scalar(30 * 60 * 1_000_000, pa.duration("us"))
+    windows = ev.map_batches(
+        lambda t: (
+            lambda p: p.select(["event_id", "user_id"])
+            .append_column("start", p["ts"])
+            .append_column("end", pc.add(p["ts"], half_hour))
+        )(t.filter(pc.equal(t["event_type"], "purchase"))),
+        batch_format="pyarrow",
+    )
+    return range_join(
+        clicks, windows, "user_id", "ts", "start", "end",
+        ["event_id", "start"], suffix="_w",
+    )
+
+
 def _q_quality_topfrac(sf_dir: str):
     """Per-source quality cut: keep the top half of each source's docs by
     quantized stopword ratio (exact per-group discrete quantile)."""
@@ -791,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "quality_topfrac": _q_quality_topfrac,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "explode_sentences": _q_explode_sentences,
         "explode_windows": _q_explode_windows,
         # dedup family
@@ -1090,6 +1127,17 @@ def oracle_sql() -> dict[str, str]:
             "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events "
             "  WHERE event_type = 'purchase') r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        # interval join: inclusive BETWEEN both sides, one-to-many
+        "range_join": (
+            "SELECT l.event_id, l.user_id, l.ts, "
+            "  r.event_id AS event_id_w, r.ts AS start_w "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "  WHERE event_type = 'click') l "
+            "JOIN (SELECT event_id, user_id, ts FROM events "
+            "  WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts "
+            "AND l.ts <= r.ts + INTERVAL '30 minutes'"
         ),
         # per-source quality cut: same stopword-ratio float64 ops and
         # floor(r*1e4+0.5) quantization as stratified_quantile_filter;

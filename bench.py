@@ -157,7 +157,7 @@ def run_query_suite(sf_dir: str) -> dict:
         "repetition", "pii_scrub",
         "top_terms", "len_quantiles", "pack_sequences",
         "decontaminate", "domain_mix", "split_assign", "quality_topfrac",
-        "asof_join",
+        "asof_join", "range_join",
         "exact_dedup", "simhash", "simhash_dup_pairs", "minhash_dup_pairs",
         "near_dup_cosine", "ann_topk", "ivf_topk",
         "sample_filter_drop", "ignore_relinearize", "explode_windows",

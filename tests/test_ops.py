@@ -367,6 +367,34 @@ def test_asof_join_semantics(ray_session):
     assert out2["ts_r"].fillna(-1).tolist() == out["ts_r"].fillna(-1).tolist()
 
 
+def test_range_join_one_to_many(ray_session):
+    from genie_ray.stages.asof import range_join
+
+    left = ray.data.from_arrow(pa.table(
+        {"id": pa.array([1, 2, 3], pa.int64()),
+         "k": pa.array(["u", "u", "v"], pa.string()),
+         "ts": pa.array([5, 12, 5], pa.int64())}
+    ))
+    # overlapping intervals for u: [0,10] and [5,20] — ts=5 hits both
+    # (inclusive bounds), ts=12 hits only the second; key v has none
+    right = ray.data.from_arrow(pa.table(
+        {"k": pa.array(["u", "u"], pa.string()),
+         "s": pa.array([0, 5], pa.int64()),
+         "e": pa.array([10, 20], pa.int64()),
+         "wid": pa.array([100, 200], pa.int64())}
+    ))
+    out = (
+        range_join(left, right, "k", "ts", "s", "e", ["wid"])
+        .to_pandas().sort_values(["id", "wid_w"])
+    )
+    assert list(zip(out["id"], out["wid_w"])) == [(1, 100), (1, 200), (2, 200)]
+    out2 = (
+        range_join(left.repartition(3), right.repartition(2), "k", "ts", "s", "e", ["wid"])
+        .to_pandas().sort_values(["id", "wid_w"])
+    )
+    assert out2["wid_w"].tolist() == out["wid_w"].tolist()
+
+
 def test_stratified_quantile_filter_per_group(ray_session):
     from genie_ray.functions.corpus import stratified_quantile_filter
 
