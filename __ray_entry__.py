@@ -528,6 +528,25 @@ def _q_range_join(sf_dir: str):
     )
 
 
+def _q_topk_per_source(sf_dir: str):
+    """Grouped top-k (row_number() semantics): the 5 longest documents per
+    source by ``n_chars`` DESC, ties broken by ``doc_id`` ASC, with a
+    1-based ``rank`` column. Batch-local prune → one groupby(source)
+    shuffle over the survivors only."""
+    import os
+
+    import ray.data
+
+    from genie_ray.pipelines.relational import grouped_top_k
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return grouped_top_k(ds, k=5, group_col="source",
+                         order_col="n_chars", id_col="doc_id")
+
+
 def _q_quality_topfrac(sf_dir: str):
     """Per-source quality cut: keep the top half of each source's docs by
     quantized stopword ratio (exact per-group discrete quantile)."""
@@ -809,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": R.props_extract,
         "window_tumbling": R.window_tumbling,
         "session_windows": R.session_windows,
+        "topk_per_source": _q_topk_per_source,
         # text analysis (SQL-checked where expressible)
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
@@ -996,6 +1016,13 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "topk_per_source": (
+            "SELECT source, n_chars, doc_id, rank FROM ("
+            "  SELECT source, n_chars, doc_id, "
+            "    row_number() OVER (PARTITION BY source "
+            "      ORDER BY n_chars DESC, doc_id) AS rank "
+            "  FROM documents) WHERE rank <= 5"
         ),
         "distinct_pairs": "SELECT DISTINCT lang, source FROM documents",
         "props_extract": (

@@ -411,6 +411,41 @@ def topk_orders(sf_dir: str) -> ray.data.Dataset:
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
+def grouped_top_k(
+    ds: ray.data.Dataset,
+    k: int,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Top-k rows per group by ``order_col`` DESC, ties broken by
+    ``id_col`` ASC, with a 1-based ``rank`` column (``row_number()``
+    semantics). Scale shape: a batch-local top-k prune first — each
+    input batch forwards at most k rows per group it contains, so the
+    one ``groupby(group)`` shuffle moves O(k · groups · blocks) rows,
+    never the corpus — then a per-group final top-k over those
+    survivors. Both steps are the same vectorized polars kernel."""
+    import polars as pl
+
+    def local_topk(t: pa.Table, with_rank: bool = False) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select([group_col, order_col, id_col]))
+            .sort([order_col, id_col], descending=[True, False])
+            .group_by(group_col, maintain_order=True)
+            .head(k)
+        )
+        if with_rank:
+            df = df.with_columns(
+                rank=pl.int_range(pl.len()).over(group_col).cast(pl.Int64) + 1
+            )
+        return df.to_arrow()
+
+    pruned = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return pruned.groupby(group_col).map_groups(
+        lambda g: local_topk(g, with_rank=True), batch_format="pyarrow"
+    )
+
+
 # -- distinct (G9 / D4) ------------------------------------------------------
 
 
