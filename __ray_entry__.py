@@ -387,6 +387,20 @@ def _q_len_quantiles(sf_dir: str):
     return int_quantiles(ds, "n_chars")
 
 
+def _q_grouped_quantiles(sf_dir: str):
+    """Exact per-source discrete quantiles of doc length (DuckDB
+    quantile_disc semantics) via a (source, n_chars) count histogram."""
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.corpus import grouped_int_quantiles
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "n_chars"])
+    return grouped_int_quantiles(ds, "source", "n_chars")
+
+
 def _q_pack_sequences(sf_dir: str):
     import os
 
@@ -829,6 +843,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": R.window_tumbling,
         "session_windows": R.session_windows,
         "topk_per_source": _q_topk_per_source,
+        "user_running": R.user_running,
+        "rollup_stats": R.rollup_stats,
+        "left_join_nulls": R.left_join_nulls,
         # text analysis (SQL-checked where expressible)
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
@@ -840,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus statistics + packing
         "top_terms": _q_top_terms,
         "len_quantiles": _q_len_quantiles,
+        "grouped_quantiles": _q_grouped_quantiles,
         "pack_sequences": _q_pack_sequences,
         # curation: decontamination + deterministic sampling
         "decontaminate": _q_decontaminate,
@@ -1023,6 +1041,33 @@ def oracle_sql() -> dict[str, str]:
             "    row_number() OVER (PARTITION BY source "
             "      ORDER BY n_chars DESC, doc_id) AS rank "
             "  FROM documents) WHERE rank <= 5"
+        ),
+        "user_running": (
+            "SELECT event_id, user_id, ts, value, "
+            "  round(sum(value) OVER (PARTITION BY user_id "
+            "    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2) "
+            "    AS running_sum, "
+            "  date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id "
+            "    ORDER BY ts, event_id), ts) AS delta_us "
+            "FROM events"
+        ),
+        "rollup_stats": (
+            "SELECT source, lang, count(*) AS n, "
+            "sum(n_chars)::BIGINT AS sum_chars "
+            "FROM documents GROUP BY ROLLUP (source, lang)"
+        ),
+        "left_join_nulls": (
+            "SELECT o.o_orderkey, count(l.l_quantity) AS n_ret "
+            "FROM orders o LEFT JOIN "
+            "(SELECT * FROM lineitem WHERE l_returnflag = 'R') l "
+            "ON o.o_orderkey = l.l_orderkey GROUP BY o.o_orderkey"
+        ),
+        "grouped_quantiles": (
+            "SELECT source, unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q, "
+            "unnest(qv)::BIGINT AS value FROM ("
+            "  SELECT source, "
+            "    quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qv "
+            "  FROM documents GROUP BY source)"
         ),
         "distinct_pairs": "SELECT DISTINCT lang, source FROM documents",
         "props_extract": (

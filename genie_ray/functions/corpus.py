@@ -144,6 +144,54 @@ def int_quantiles(
     )
 
 
+def grouped_int_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    col: str,
+    qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> pa.Table:
+    """Exact per-group discrete quantiles (DuckDB ``quantile_disc``
+    semantics, same probe as ``int_quantiles``: idx = max(0, ceil(q·n)−1)
+    into the group's sorted values), distributed as a (group, value)
+    COUNT histogram: batch-local Arrow ``group_by`` partials, then one
+    ``groupby`` whose cardinality is #groups × #distinct values — never
+    #rows. The driver walks each group's tiny sorted histogram. Returns
+    a (group, q, value) pa.Table sorted by (group, q)."""
+
+    def local_hist(t: pa.Table) -> pa.Table:
+        return (
+            t.select([group_col, col])
+            .group_by([group_col, col])
+            .aggregate([([], "count_all")])
+            .rename_columns([group_col, col, "cnt"])
+        )
+
+    hist = (
+        ds.map_batches(local_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, col])
+        .sum("cnt")
+        .to_pandas()
+        .sort_values([group_col, col])
+    )
+    out_g, out_q, out_v = [], [], []
+    for g, sub in hist.groupby(group_col, sort=True):
+        vals = sub[col].to_numpy()
+        cum = np.cumsum(sub["sum(cnt)"].to_numpy().astype(np.int64))
+        n = int(cum[-1])
+        for q in qs:
+            idx = max(0, math.ceil(q * n) - 1)
+            out_g.append(g)
+            out_q.append(float(q))
+            out_v.append(int(vals[np.searchsorted(cum, idx, side="right")]))
+    return pa.table(
+        {
+            group_col: pa.array(out_g),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
 def stratified_quantile_filter(
     ds: ray.data.Dataset,
     frac: float = 0.5,

@@ -446,6 +446,137 @@ def grouped_top_k(
     )
 
 
+def user_running(sf_dir: str, num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-user running aggregates over the event stream — the window-
+    function family (running ``SUM`` + ``LAG`` delta) the reference's
+    per-group statistics imply (SURVEY.md §2.6 G11-adjacent).
+
+    Scale shape: users are hash-bucketed (``num_buckets`` groups), so the
+    ONE shuffle is a bounded-cardinality groupby — never a range sort of
+    the full (user, ts) composite key. Inside each bucket a single
+    vectorized polars window kernel (sort + ``cum_sum``/``shift`` over
+    ``user_id``) handles every user in the bucket at once — no per-user
+    Python. Same partitioning contract as ``window_tumbling``: a bucket
+    (not the corpus) fits a task; raise ``num_buckets`` with user count."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    mask = num_buckets - 1  # num_buckets must be 2^k
+
+    def assign(t: pa.Table) -> pa.Table:
+        h = pl.from_arrow(t.select(["user_id"]))["user_id"].hash(seed=11)
+        bucket = (h.to_numpy() & np.uint64(mask)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def windows(g: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(g.drop_columns(["bucket"]))
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(
+                running_sum=pl.col("value").cum_sum().over("user_id"),
+                delta_us=(
+                    pl.col("ts") - pl.col("ts").shift(1).over("user_id")
+                ).dt.total_microseconds(),
+            )
+        )
+        t = df.to_arrow()
+        # numpy round (scale-rint-descale) lands on the same double
+        # representation as DuckDB round(x, 2); pc.round does not
+        # (e.g. 13.530000000000001 vs 13.53) — same choice as
+        # window_tumbling's pandas .round
+        rs = pa.array(np.round(df["running_sum"].to_numpy(), 2))
+        return t.set_column(
+            t.schema.get_field_index("running_sum"), "running_sum", rs
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(windows, batch_format="pyarrow")
+    )
+
+
+def rollup_stats(sf_dir: str) -> pd.DataFrame:
+    """``GROUP BY ROLLUP (source, lang)`` over documents: count + total
+    chars at every rollup level. Scale shape: the corpus is touched ONCE
+    — batch-local Arrow ``group_by`` partials, one tiny
+    ``groupby(source, lang)`` over #source×#lang partial rows — and the
+    coarser levels (per-source, grand total) are re-aggregated from that
+    finest-level table, which is aggregate-sized, not corpus-sized."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["source", "lang"])
+            .aggregate([([], "count_all"), ("n_chars", "sum")])
+            .rename_columns(["source", "lang", "n", "sum_chars"])
+        )
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .sum(["n", "sum_chars"])
+        .to_pandas()
+        .rename(columns={"sum(n)": "n", "sum(sum_chars)": "sum_chars"})
+    )
+    per_source = (
+        finest.groupby("source", as_index=False)[["n", "sum_chars"]]
+        .sum()
+        .assign(lang=None)
+    )
+    total = pd.DataFrame(
+        [{"source": None, "lang": None,
+          "n": finest["n"].sum(), "sum_chars": finest["sum_chars"].sum()}]
+    )
+    out = pd.concat([finest, per_source, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out[["source", "lang", "n", "sum_chars"]]
+
+
+def left_join_nulls(sf_dir: str) -> ray.data.Dataset:
+    """orders LEFT OUTER JOIN its returned lineitems — the
+    miss-preserving join variant: orders with NO 'R'-flag items survive
+    with a null right payload, which the per-order valid-count turns
+    into ``n_ret = 0``. Runs through Ray Data's native hash join
+    (``left_outer``) with both sides big — the realistic 100-TB shape
+    for an outer join (a dim-sized right side would take the broadcast
+    path of ``join_enrich`` with misses kept instead of filtered).
+    Post-join aggregation is batch-local Arrow valid-count partials,
+    then a sum over #orders partial rows."""
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+    items = items.map_batches(
+        lambda t: t.filter(pc.equal(t["l_returnflag"], "R")).select(
+            ["l_orderkey", "l_quantity"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = orders.join(
+        items, join_type="left_outer", num_partitions=16,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow count mode 'only_valid': misses (null l_quantity) -> 0
+        return (
+            t.group_by(["o_orderkey"])
+            .aggregate([("l_quantity", "count")])
+            .rename_columns(["o_orderkey", "n_ret"])
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .sum("n_ret")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "n_ret"]),
+        batch_format="pyarrow",
+    )
+
+
 # -- distinct (G9 / D4) ------------------------------------------------------
 
 
