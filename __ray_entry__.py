@@ -601,6 +601,19 @@ def _q_lang_id(sf_dir: str):
     return lang_id(ds).select_columns(["doc_id", "lang_pred"])
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct estimates (p=12) for two columns of the
+    golden corpus — distributed register-blob folds + elementwise-max
+    merge; oracle is the independent per-row-Python single-process
+    implementation (golden hll.parquet, `golden.py _hll_single`)."""
+    import ray.data
+
+    from genie_ray.functions.corpus import approx_distinct
+
+    ds = ray.data.read_parquet(_golden()["simdocs"])
+    return approx_distinct(ds, ("doc_id", "text"))
+
+
 def _q_simhash(sf_dir: str):
     """Distributed SimHash signatures; oracle is the single-process
     signature pass (golden simsigs.parquet) — bit-for-bit int64."""
@@ -858,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "len_quantiles": _q_len_quantiles,
         "grouped_quantiles": _q_grouped_quantiles,
+        "approx_distinct": _q_approx_distinct,
         "pack_sequences": _q_pack_sequences,
         # curation: decontamination + deterministic sampling
         "decontaminate": _q_decontaminate,
@@ -1412,6 +1426,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash": (
             f"SELECT doc_id, simhash FROM read_parquet('{paths['simsigs']}')"
+        ),
+        "approx_distinct": (
+            "SELECT col, approx_distinct "
+            f"FROM read_parquet('{paths['hll']}')"
         ),
         "minhash_dup_pairs": (
             "SELECT id_a, id_b, jaccard "

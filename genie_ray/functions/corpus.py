@@ -427,3 +427,126 @@ def pack_sequences(
         .groupby("grp", num_partitions=max(1, num_groups // 2))
         .map_groups(pack_group, batch_format="pyarrow")
     )
+
+
+# -- HyperLogLog approximate distinct count -----------------------------------
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias-correction constant."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Standard HLL estimator over a register array: harmonic-mean raw
+    estimate with the small-range linear-counting correction (the
+    large-range correction is unnecessary with 64-bit hashes)."""
+    m = len(registers)
+    raw = _hll_alpha(m) * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    zeros = int(np.sum(registers == 0))
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return float(raw)
+
+
+def _msb_position(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized MSB bit position (0-based) of uint64 values via
+    binary-search shifts — no float log2 (which misrounds values within
+    1 ulp of a power of two). Position is undefined for w == 0 (returns
+    0); callers mask zeros separately."""
+    v = w.copy()
+    pos = np.zeros(len(w), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = (v >> np.uint64(s)) != 0
+        pos[big] += s
+        v[big] >>= np.uint64(s)
+    return pos
+
+
+def approx_distinct(
+    ds: ray.data.Dataset,
+    cols: tuple,
+    p: int = 12,
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT col) for each column via HyperLogLog —
+    THE sketch for distinct counting at 100 TB, where an exact distinct
+    is a full shuffle of every value but the sketch is a fixed
+    2^p-byte register array per column regardless of corpus size.
+
+    Scale shape: each batch hashes its values (stable vectorized polars
+    hash, the engine-wide bucket hash) and folds them into per-batch
+    register maxima — one 2^p-byte blob per column per batch leaves the
+    task, never a value. The merge is an elementwise max over blobs:
+    one block-count-sized ``repartition(1)`` concat (bytes moved =
+    #blocks × #cols × 2^p, e.g. 4 KB each), with no groupby at all. On
+    a real cluster the same blobs tree-reduce for free because max is
+    associative/commutative.
+
+    Deterministic: fixed hash seed, exact integer bit arithmetic — the
+    single-process oracle (`golden.py _hll_single`, per-row Python
+    ``int.bit_length``) must reproduce every estimate bit-for-bit.
+    Returns a (col, approx_distinct) Dataset, int64 estimates
+    (floor(E + 0.5)).
+    """
+    import polars as pl
+
+    m = 1 << p
+    max_rho = np.uint8(64 - p + 1)
+
+    def local_regs(t: pa.Table) -> pa.Table:
+        blobs = []
+        for col in cols:
+            h = (
+                pl.from_arrow(t.select([col]))[col]
+                .hash(seed=seed)
+                .to_numpy()
+                .astype(np.uint64)
+            )
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            w = h << np.uint64(p)  # wraps mod 2^64: the low 64-p bits
+            rho = np.where(
+                w == 0, max_rho, (64 - _msb_position(w)).astype(np.uint8)
+            ).astype(np.uint8)
+            # rho = leading-zeros(w) + 1 = (63 - msb) + 1
+            regs = np.zeros(m, dtype=np.uint8)
+            np.maximum.at(regs, idx, rho)
+            blobs.append(regs.tobytes())
+        return pa.table(
+            {
+                "col": pa.array(list(cols), pa.string()),
+                "regs": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out_c, out_n = [], []
+        for col in cols:
+            sub = t.filter(pc.equal(t["col"], col))
+            stacked = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in sub["regs"].to_pylist()]
+            )
+            est = hll_estimate(stacked.max(axis=0))
+            out_c.append(col)
+            out_n.append(int(math.floor(est + 0.5)))
+        return pa.table(
+            {
+                "col": pa.array(out_c, pa.string()),
+                "approx_distinct": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        local_regs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )

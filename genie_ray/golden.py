@@ -79,6 +79,7 @@ ARTIFACTS = (
     "embeds.parquet",
     "ivf.parquet",
     "windows.parquet",
+    "hll.parquet",
 )
 
 
@@ -306,6 +307,51 @@ def _ivf_single(
     )
 
 
+def _hll_single(
+    table: pa.Table, cols: tuple, p: int = 12, seed: int = 7
+) -> pa.Table:
+    """Single-process HyperLogLog distinct estimates: per-row Python ints
+    and ``int.bit_length`` — an INDEPENDENT implementation of the register
+    semantics the distributed ``corpus.approx_distinct`` (vectorized numpy
+    folds + blob merge) must reproduce bit-for-bit. Shares only the
+    stable polars value hash, which is the operator's hash SPEC."""
+    import math as _math
+
+    import polars as pl
+
+    m = 1 << p
+    out_c, out_n = [], []
+    for col in cols:
+        regs = [0] * m
+        hashes = pl.from_arrow(table[col]).hash(seed=seed).to_list()
+        for h in hashes:
+            idx = h >> (64 - p)
+            w = (h << p) & ((1 << 64) - 1)
+            rho = (64 - p + 1) if w == 0 else (64 - w.bit_length() + 1)
+            if rho > regs[idx]:
+                regs[idx] = rho
+        # estimator: harmonic mean + small-range linear counting
+        if m == 16:
+            alpha = 0.673
+        elif m == 32:
+            alpha = 0.697
+        elif m == 64:
+            alpha = 0.709
+        else:
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+        raw = alpha * m * m / sum(2.0 ** -r for r in regs)
+        zeros = regs.count(0)
+        est = m * _math.log(m / zeros) if (raw <= 2.5 * m and zeros) else raw
+        out_c.append(col)
+        out_n.append(int(_math.floor(est + 0.5)))
+    return pa.table(
+        {
+            "col": pa.array(out_c, pa.string()),
+            "approx_distinct": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
 def ensure_golden(n_docs: int = 300, seed: int = 42) -> Dict[str, str]:
     """Idempotently materialize every golden artifact; returns name→path.
     Pure single-process (no Ray): this is the oracle side of the
@@ -364,6 +410,10 @@ def ensure_golden(n_docs: int = 300, seed: int = 42) -> Dict[str, str]:
     # MinHash-LSH verified pairs via the independent dict-bucket
     # implementation (oracle for signatures → banding → distributed verify)
     w("minhash_pairs", _minhash_pairs_single(simdocs))
+
+    # HyperLogLog distinct estimates via the independent per-row-Python
+    # implementation (oracle for the distributed register-blob merge)
+    w("hll", _hll_single(simdocs, ("doc_id", "text")))
 
     # clustered embeddings + single-process IVF top-k (oracle for the
     # spread-sample → centroid-routed → two-level-merge distributed path)

@@ -665,3 +665,24 @@ def test_embedding_lsh_blocking_finds_scaled_copies(ray_session):
     pairs = set(zip(out["id_a"], out["id_b"]))
     for i in range(5):
         assert (i, 100 + i) in pairs
+
+
+def test_hll_accuracy_and_block_invariance(ray_session):
+    """HLL estimates stay within the p=12 error envelope (~1.6% rse, 5x
+    margin here) and are invariant to block layout (register max is
+    associative/commutative)."""
+    from genie_ray.functions.corpus import approx_distinct
+
+    n = 20_000
+    vals = [f"v{i % 7_919}" for i in range(n)]  # 7919 distinct
+    t = pa.table({"x": pa.array(vals, pa.string())})
+    est1 = (
+        approx_distinct(ray.data.from_arrow(t), ("x",))
+        .to_pandas()["approx_distinct"][0]
+    )
+    est2 = (
+        approx_distinct(ray.data.from_arrow(t).repartition(13), ("x",))
+        .to_pandas()["approx_distinct"][0]
+    )
+    assert est1 == est2  # block-layout invariant
+    assert abs(est1 - 7_919) / 7_919 < 0.08
