@@ -138,11 +138,17 @@ def _sf_scaled_ops(sf_dir: str) -> dict:
             k=10, num_centroids=8, nprobe=3,
         )
 
+    def op_approx_distinct(_):
+        from genie_ray.functions.corpus import approx_distinct
+
+        return approx_distinct(read_docs(), ("doc_id", "text"))
+
     return {
         "lang_id": op_lang_id,
         "simhash": op_simhash,
         "minhash_dup_pairs": op_minhash_dup_pairs,
         "ivf_topk": op_ivf_topk,
+        "approx_distinct": op_approx_distinct,
     }
 
 
@@ -157,7 +163,9 @@ def run_query_suite(sf_dir: str) -> dict:
         "repetition", "pii_scrub",
         "top_terms", "len_quantiles", "pack_sequences",
         "decontaminate", "domain_mix", "split_assign", "quality_topfrac",
-        "asof_join", "range_join",
+        "asof_join", "range_join", "topk_per_source", "user_running",
+        "left_join_nulls", "grouped_quantiles", "rollup_stats",
+        "approx_distinct",
         "exact_dedup", "simhash", "simhash_dup_pairs", "minhash_dup_pairs",
         "near_dup_cosine", "ann_topk", "ivf_topk",
         "sample_filter_drop", "ignore_relinearize", "explode_windows",
