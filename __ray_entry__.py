@@ -387,6 +387,20 @@ def _q_len_quantiles(sf_dir: str):
     return int_quantiles(ds, "n_chars")
 
 
+def _q_tfidf(sf_dir: str):
+    """Top-3 TF-IDF terms per document (idf = ln(N/df)): bucketed DF
+    aggregation + broadcast lookup + row-local scoring."""
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.corpus import tfidf_top_terms
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
 def _q_grouped_quantiles(sf_dir: str):
     """Exact per-source discrete quantiles of doc length (DuckDB
     quantile_disc semantics) via a (source, n_chars) count histogram."""
@@ -872,6 +886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_quantiles": _q_len_quantiles,
         "grouped_quantiles": _q_grouped_quantiles,
         "approx_distinct": _q_approx_distinct,
+        "tfidf_terms": _q_tfidf,
         "pack_sequences": _q_pack_sequences,
         # curation: decontamination + deterministic sampling
         "decontaminate": _q_decontaminate,
@@ -1075,6 +1090,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders o LEFT JOIN "
             "(SELECT * FROM lineitem WHERE l_returnflag = 'R') l "
             "ON o.o_orderkey = l.l_orderkey GROUP BY o.o_orderkey"
+        ),
+        "tfidf_terms": (
+            "WITH tok AS ("
+            "  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term "
+            "  FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf "
+            "  FROM tok GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df "
+            "  FROM tok GROUP BY term), "
+            "scored AS ("
+            "  SELECT tf.doc_id, tf.term, "
+            "    tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df) "
+            "    AS score "
+            "  FROM tf JOIN df USING (term)), "
+            "ranked AS ("
+            "  SELECT doc_id, term, score, row_number() OVER ("
+            "    PARTITION BY doc_id ORDER BY score DESC, term) AS rank "
+            "  FROM scored) "
+            "SELECT doc_id, term, round(score, 6) AS score, rank "
+            "FROM ranked WHERE rank <= 3"
         ),
         "grouped_quantiles": (
             "SELECT source, unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q, "

@@ -550,3 +550,112 @@ def approx_distinct(
     return partials.repartition(1).map_batches(
         merge, batch_format="pyarrow", batch_size=None
     )
+
+
+# -- TF-IDF --------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Top-k terms per document by TF-IDF (idf = ln(N/df), ties score
+    DESC then term ASC, 1-based rank) — the classic corpus-relevance
+    scoring pass of a training-data pipeline.
+
+    Scale shape, two passes over the corpus and ONE vocabulary-sized
+    shuffle total:
+
+    1. document frequencies — a document is one ROW, so per-batch
+       distinct-(doc, term) counts are exact partials; the shuffle that
+       merges them is ``groupby(term)`` over #vocab rows, never #tokens.
+       The merged DF table (vocab-sized, bounded) broadcasts once via
+       ``ray.put`` as a sorted term array + df array; above broadcast
+       budget the same lookup becomes a hash join on term (the
+       ``canonicalize_join`` pattern).
+    2. scoring — entirely row-local: per-batch polars tf counts, one
+       numpy ``searchsorted`` df gather, ``tf·ln(N/df)``, per-doc top-k
+       inside the batch. No shuffle; output is (doc_id, term, score,
+       rank).
+
+    N (total docs) comes from parquet metadata (``ds.count()`` is a
+    metadata read, not a scan, on an un-transformed parquet dataset).
+    """
+    import polars as pl
+    import ray
+
+    n_docs = ds.count()
+
+    def local_df(t: pa.Table) -> pa.Table:
+        c = (
+            pl.from_arrow(t.select([id_col, text_col]))
+            .with_columns(term=pl.col(text_col).str.extract_all(TOKEN_RE))
+            .explode("term")
+            .drop_nulls("term")
+            .unique(subset=[id_col, "term"])
+            .group_by("term")
+            .len(name="df")
+        )
+        return pa.table(
+            {"term": c["term"].to_arrow(), "df": c["df"].cast(pl.Int64).to_arrow()}
+        )
+
+    df_tab = (
+        ds.map_batches(local_df, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term", num_partitions=num_partitions)
+        .sum("df")
+        .to_pandas()
+        .sort_values("term")
+    )
+    terms_sorted = df_tab["term"].to_numpy(dtype=object)
+    df_sorted = df_tab["sum(df)"].to_numpy().astype(np.float64)
+    df_ref = ray.put((terms_sorted, df_sorted, float(n_docs)))
+
+    class Score:
+        def __init__(self):
+            self.terms, self.df, self.n = ray.get(df_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            tf = (
+                pl.from_arrow(t.select([id_col, text_col]))
+                .with_columns(term=pl.col(text_col).str.extract_all(TOKEN_RE))
+                .explode("term")
+                .drop_nulls("term")
+                .group_by([id_col, "term"])
+                .len(name="tf")
+            )
+            if len(tf) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], t[id_col].type),
+                        "term": pa.array([], pa.string()),
+                        "score": pa.array([], pa.float64()),
+                        "rank": pa.array([], pa.int64()),
+                    }
+                )
+            idx = np.searchsorted(
+                self.terms, np.asarray(tf["term"].to_list(), dtype=object)
+            )
+            score = tf["tf"].to_numpy().astype(np.float64) * np.log(
+                self.n / self.df[idx]
+            )
+            ranked = (
+                tf.with_columns(score=pl.Series(score))
+                .sort(["score", "term"], descending=[True, False])
+                .group_by(id_col, maintain_order=True)
+                .head(k)
+                .with_columns(
+                    rank=pl.int_range(pl.len()).over(id_col).cast(pl.Int64) + 1
+                )
+                .drop("tf")
+            )
+            out = ranked.to_arrow()
+            sc = pa.array(np.round(ranked["score"].to_numpy(), 6))
+            return out.set_column(
+                out.schema.get_field_index("score"), "score", sc
+            )
+
+    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
