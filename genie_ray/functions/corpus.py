@@ -554,6 +554,10 @@ def approx_distinct(
 
 # -- TF-IDF --------------------------------------------------------------------
 
+# per-process cache for the broadcast DF lookup (cleared on new ref: only
+# one corpus's DF table is live per query)
+_TFIDF_CACHE: dict = {}
+
 
 def tfidf_top_terms(
     ds: ray.data.Dataset,
@@ -615,8 +619,9 @@ def tfidf_top_terms(
     df_ref = ray.put((terms_sorted, df_sorted, float(n_docs)))
 
     class Score:
-        def __init__(self):
-            self.terms, self.df, self.n = ray.get(df_ref)
+        def __init__(self, ref, top_k):
+            self.terms, self.df, self.n = ray.get(ref)
+            self.k = top_k
 
         def __call__(self, t: pa.Table) -> pa.Table:
             tf = (
@@ -646,7 +651,7 @@ def tfidf_top_terms(
                 tf.with_columns(score=pl.Series(score))
                 .sort(["score", "term"], descending=[True, False])
                 .group_by(id_col, maintain_order=True)
-                .head(k)
+                .head(self.k)
                 .with_columns(
                     rank=pl.int_range(pl.len()).over(id_col).cast(pl.Int64) + 1
                 )
@@ -658,4 +663,16 @@ def tfidf_top_terms(
                 out.schema.get_field_index("score"), "score", sc
             )
 
-    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+    def score_task(t: pa.Table) -> pa.Table:
+        # stateless cached-task map (see stages/extract.py
+        # extract_triples_task): the DF lookup is built once per worker
+        # PROCESS, the stage fuses with the read map and pays no
+        # actor-pool spin-up per run (~4 s at sf0.1)
+        key = (df_ref.hex(), k)
+        inst = _TFIDF_CACHE.get(key)
+        if inst is None:
+            _TFIDF_CACHE.clear()
+            inst = _TFIDF_CACHE[key] = Score(df_ref, k)
+        return inst(t)
+
+    return ds.map_batches(score_task, batch_format="pyarrow")
