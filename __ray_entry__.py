@@ -387,6 +387,21 @@ def _q_len_quantiles(sf_dir: str):
     return int_quantiles(ds, "n_chars")
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Fixed-quota per-source uniform sample (20 docs per source by
+    largest splitmix64 hash) — seedless, partition-invariant, bit-parity
+    with the SQL splitmix64 fragment."""
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "source"])
+    return stratified_sample(ds, k=20)
+
+
 def _q_tfidf(sf_dir: str):
     """Top-3 TF-IDF terms per document (idf = ln(N/df)): bucketed DF
     aggregation + broadcast lookup + row-local scoring."""
@@ -887,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "approx_distinct": _q_approx_distinct,
         "tfidf_terms": _q_tfidf,
+        "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         # curation: decontamination + deterministic sampling
         "decontaminate": _q_decontaminate,
@@ -1090,6 +1106,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders o LEFT JOIN "
             "(SELECT * FROM lineitem WHERE l_returnflag = 'R') l "
             "ON o.o_orderkey = l.l_orderkey GROUP BY o.o_orderkey"
+        ),
+        "stratified_sample": (
+            "SELECT source, doc_id, rank FROM ("
+            "  SELECT source, doc_id, row_number() OVER ("
+            "    PARTITION BY source ORDER BY h DESC, doc_id) AS rank "
+            "  FROM " + _smx("doc_id, source", "documents", "doc_id")
+            + ") WHERE rank <= 20"
         ),
         "tfidf_terms": (
             "WITH tok AS ("

@@ -127,3 +127,34 @@ def assign_splits(
         return t.append_column("split", pc.take(name_arr, pa.array(idx, pa.int64())))
 
     return ds.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    k: int = 20,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Fixed-quota uniform sample: the k rows per group with the LARGEST
+    ``splitmix64(id)`` — hash order is uniform and the finalizer is a
+    bijection on uint64, so unique ids give a collision-free, seedless,
+    partition-invariant ranking (the per-group analogue of
+    ``weighted_sample``'s Bernoulli keep).
+
+    Scale shape: delegates to ``grouped_top_k`` — each batch forwards at
+    most k rows per group it contains, so the one ``groupby(group)``
+    shuffle moves O(k · groups · blocks) rows, never the corpus. Output
+    is (group, id, rank), rank 1-based by hash DESC, ties by id ASC
+    (unreachable for unique ids)."""
+    from ..pipelines.relational import grouped_top_k
+
+    def add_h(t: pa.Table) -> pa.Table:
+        h = splitmix64(t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64))
+        return t.append_column("h", pa.array(h, pa.uint64()))
+
+    with_h = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    picked = grouped_top_k(with_h, k=k, group_col=group_col,
+                           order_col="h", id_col=id_col)
+    return picked.map_batches(
+        lambda t: t.drop_columns(["h"]), batch_format="pyarrow"
+    )
