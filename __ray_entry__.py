@@ -387,6 +387,47 @@ def _q_len_quantiles(sf_dir: str):
     return int_quantiles(ds, "n_chars")
 
 
+def _q_unigram_loglik(sf_dir: str):
+    """Mean per-token log-likelihood under the corpus unigram LM (the
+    perplexity-filter shape): one vocab-sized shuffle, broadcast LM,
+    shuffle-free scoring pass."""
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.corpus import unigram_loglik
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return unigram_loglik(ds)
+
+
+def _q_bloom_semi(sf_dir: str):
+    """Exact semi join with a Bloom prefilter: lineitems of 'F'-status
+    orders. The 128 KB broadcast bitmap prunes the fact side before the
+    hash join, so the exchange moves members + ~1% false positives."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from genie_ray.stages.bloom import bloom_semi_join
+
+    facts = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+    keys = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus"],
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return bloom_semi_join(facts, keys, "l_orderkey", "o_orderkey")
+
+
 def _q_stratified_sample(sf_dir: str):
     """Fixed-quota per-source uniform sample (20 docs per source by
     largest splitmix64 hash) — seedless, partition-invariant, bit-parity
@@ -903,6 +944,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _q_approx_distinct,
         "tfidf_terms": _q_tfidf,
         "stratified_sample": _q_stratified_sample,
+        "bloom_semi": _q_bloom_semi,
+        "unigram_loglik": _q_unigram_loglik,
         "pack_sequences": _q_pack_sequences,
         # curation: decontamination + deterministic sampling
         "decontaminate": _q_decontaminate,
@@ -1106,6 +1149,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders o LEFT JOIN "
             "(SELECT * FROM lineitem WHERE l_returnflag = 'R') l "
             "ON o.o_orderkey = l.l_orderkey GROUP BY o.o_orderkey"
+        ),
+        "unigram_loglik": (
+            "WITH tok AS ("
+            "  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term "
+            "  FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf "
+            "  FROM tok GROUP BY doc_id, term), "
+            "cnt AS (SELECT term, count(*)::DOUBLE AS n "
+            "  FROM tok GROUP BY term), "
+            "tot AS (SELECT count(*)::DOUBLE AS n FROM tok) "
+            "SELECT doc_id, sum(tf)::BIGINT AS n_tok, "
+            "  round(sum(tf * ln(cnt.n / tot.n)) / sum(tf), 6) AS logprob "
+            "FROM tf JOIN cnt USING (term) CROSS JOIN tot GROUP BY doc_id"
+        ),
+        "bloom_semi": (
+            "SELECT l_orderkey, l_quantity FROM lineitem "
+            "WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')"
         ),
         "stratified_sample": (
             "SELECT source, doc_id, rank FROM ("

@@ -676,3 +676,96 @@ def tfidf_top_terms(
         return inst(t)
 
     return ds.map_batches(score_task, batch_format="pyarrow")
+
+
+# -- unigram LM log-likelihood (perplexity-style quality score) ----------------
+
+# per-process cache for the broadcast unigram table
+_UNIGRAM_CACHE: dict = {}
+
+
+def unigram_loglik(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Mean per-token log-likelihood of each document under the corpus's
+    own unigram LM — the CCNet/Wikipedia-LM perplexity-filter shape
+    (score = Σ ln(count(term)/total_tokens) / n_tok). Low scores mark
+    repetitive/outlier documents.
+
+    Scale shape mirrors ``tfidf_top_terms``: ONE vocab-sized shuffle
+    (batch-local term-count partials → ``groupby(term).sum``), the
+    count table broadcast once via ``ray.put``, then a shuffle-free
+    row-local scoring pass (a doc is a row) run as a cached-task map.
+    Returns (doc_id, n_tok, logprob) — docs with no tokens are excluded
+    (no LM event to score)."""
+    import polars as pl
+    import ray
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        c = (
+            pl.from_arrow(t[text_col])
+            .rename("t")
+            .to_frame()
+            .select(term=pl.col("t").str.extract_all(TOKEN_RE))
+            .explode("term")
+            .drop_nulls("term")
+            .group_by("term")
+            .len(name="n")
+        )
+        return pa.table(
+            {"term": c["term"].to_arrow(), "n": c["n"].cast(pl.Int64).to_arrow()}
+        )
+
+    cnt = (
+        ds.map_batches(local_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term", num_partitions=num_partitions)
+        .sum("n")
+        .to_pandas()
+        .sort_values("term")
+    )
+    terms_sorted = cnt["term"].to_numpy(dtype=object)
+    counts = cnt["sum(n)"].to_numpy().astype(np.float64)
+    total = float(counts.sum())
+    lm_ref = ray.put((terms_sorted, np.log(counts / total)))
+
+    def score(t: pa.Table) -> pa.Table:
+        ck = lm_ref.hex()
+        lm = _UNIGRAM_CACHE.get(ck)
+        if lm is None:
+            _UNIGRAM_CACHE.clear()
+            lm = _UNIGRAM_CACHE[ck] = ray.get(lm_ref)
+        terms, logp = lm
+        tf = (
+            pl.from_arrow(t.select([id_col, text_col]))
+            .with_columns(term=pl.col(text_col).str.extract_all(TOKEN_RE))
+            .explode("term")
+            .drop_nulls("term")
+            .group_by([id_col, "term"])
+            .len(name="tf")
+        )
+        if len(tf) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], t[id_col].type),
+                    "n_tok": pa.array([], pa.int64()),
+                    "logprob": pa.array([], pa.float64()),
+                }
+            )
+        idx = np.searchsorted(terms, np.asarray(tf["term"].to_list(), dtype=object))
+        w = tf["tf"].to_numpy().astype(np.float64)
+        agg = (
+            tf.with_columns(ll=pl.Series(w * logp[idx]))
+            .group_by(id_col)
+            .agg(n_tok=pl.col("tf").sum().cast(pl.Int64), ll=pl.col("ll").sum())
+        )
+        out = agg.to_arrow()
+        lp = pa.array(
+            np.round(agg["ll"].to_numpy() / agg["n_tok"].to_numpy(), 6)
+        )
+        out = out.set_column(out.schema.get_field_index("ll"), "logprob", lp)
+        return out
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -686,3 +686,50 @@ def test_hll_accuracy_and_block_invariance(ray_session):
     )
     assert est1 == est2  # block-layout invariant
     assert abs(est1 - 7_919) / 7_919 < 0.08
+
+
+def test_bloom_build_no_false_negatives_and_low_fp(ray_session):
+    """Every inserted key probes true (Bloom has no false negatives);
+    non-member false-positive rate stays near the design point
+    (~1% at m=2^20, k=4, 50k keys)."""
+    import ray as _ray
+
+    from genie_ray.stages.bloom import _BLOOM_CACHE, _probe_indices, build_bloom
+
+    keys = np.arange(0, 100_000, 2, dtype=np.int64)  # 50k even keys
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)})).repartition(7)
+    bm = _ray.get(build_bloom(ds, "k", m_bits=1 << 20, k_hashes=4))
+
+    def member(vals):
+        m = np.ones(len(vals), dtype=bool)
+        for idx in _probe_indices(vals, 1 << 20, 4):
+            m &= (bm[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1 == 1
+        return m
+
+    assert member(keys).all()  # no false negatives
+    non_members = np.arange(1, 100_000, 2, dtype=np.int64)  # odd keys
+    fp = member(non_members).mean()
+    assert fp < 0.05, fp
+
+
+def test_bloom_semi_join_exact_vs_python(ray_session):
+    """bloom_semi_join result == exact set-membership semi join,
+    including duplicate fact keys and keys_unique=False dedup."""
+    from genie_ray.stages.bloom import bloom_semi_join
+
+    rng = np.random.default_rng(7)
+    fact_keys = rng.integers(0, 500, size=2_000)
+    facts = pa.table({"k": pa.array(fact_keys, pa.int64()),
+                      "v": pa.array(np.arange(2_000), pa.int64())})
+    key_vals = np.concatenate([np.arange(0, 250), np.arange(0, 100)])  # dups
+    keys = pa.table({"kk": pa.array(key_vals, pa.int64())})
+    out = bloom_semi_join(
+        ray.data.from_arrow(facts).repartition(5),
+        ray.data.from_arrow(keys).repartition(3),
+        "k", "kk", m_bits=1 << 14, num_partitions=4, keys_unique=False,
+    ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    want = (
+        facts.to_pandas()[lambda d: d["k"].isin(set(key_vals))]
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    assert out.equals(want)
