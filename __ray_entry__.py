@@ -387,6 +387,20 @@ def _q_len_quantiles(sf_dir: str):
     return int_quantiles(ds, "n_chars")
 
 
+def _q_profile(sf_dir: str):
+    """One-pass column profile of the events table (n, nulls, min, max
+    per column) — per-block typed partials, single tiny merge."""
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.corpus import profile_columns
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "event_type"])
+    return profile_columns(ds, ("event_id", "user_id", "event_type"))
+
+
 def _q_unigram_loglik(sf_dir: str):
     """Mean per-token log-likelihood under the corpus unigram LM (the
     perplexity-filter shape): one vocab-sized shuffle, broadcast LM,
@@ -946,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "bloom_semi": _q_bloom_semi,
         "unigram_loglik": _q_unigram_loglik,
+        "profile_cols": _q_profile,
         "pack_sequences": _q_pack_sequences,
         # curation: decontamination + deterministic sampling
         "decontaminate": _q_decontaminate,
@@ -1149,6 +1164,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders o LEFT JOIN "
             "(SELECT * FROM lineitem WHERE l_returnflag = 'R') l "
             "ON o.o_orderkey = l.l_orderkey GROUP BY o.o_orderkey"
+        ),
+        "profile_cols": (
+            "SELECT 'event_id' AS col, count(*) AS n, "
+            "  count(*) - count(event_id) AS n_null, "
+            "  CAST(min(event_id) AS VARCHAR) AS min_v, "
+            "  CAST(max(event_id) AS VARCHAR) AS max_v FROM events "
+            "UNION ALL SELECT 'user_id', count(*), "
+            "  count(*) - count(user_id), CAST(min(user_id) AS VARCHAR), "
+            "  CAST(max(user_id) AS VARCHAR) FROM events "
+            "UNION ALL SELECT 'event_type', count(*), "
+            "  count(*) - count(event_type), min(event_type), "
+            "  max(event_type) FROM events"
         ),
         "unigram_loglik": (
             "WITH tok AS ("

@@ -166,7 +166,7 @@ def run_query_suite(sf_dir: str) -> dict:
         "asof_join", "range_join", "topk_per_source", "user_running",
         "left_join_nulls", "grouped_quantiles", "rollup_stats",
         "approx_distinct", "tfidf_terms", "stratified_sample",
-        "bloom_semi", "unigram_loglik",
+        "bloom_semi", "unigram_loglik", "profile_cols",
         "exact_dedup", "simhash", "simhash_dup_pairs", "minhash_dup_pairs",
         "near_dup_cosine", "ann_topk", "ivf_topk",
         "sample_filter_drop", "ignore_relinearize", "explode_windows",

@@ -769,3 +769,63 @@ def unigram_loglik(
         return out
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# -- column profiling ----------------------------------------------------------
+
+
+def profile_columns(ds: ray.data.Dataset, cols: tuple) -> ray.data.Dataset:
+    """Data-quality profile — row count, null count, min, max per column
+    (min/max rendered as strings so one schema covers every column type;
+    int renders match SQL ``CAST(x AS VARCHAR)``, string compare is
+    binary/codepoint in both Arrow and DuckDB).
+
+    Scale shape: one pass, no value shuffle — per-batch Arrow aggregates
+    collapse each block to #cols partial rows, and the merge is a single
+    tiny task over #cols × #blocks partials (``repartition(1)``; min/max
+    /sum are associative, so a real cluster tree-reduces them). Distinct
+    counts deliberately live in ``approx_distinct`` (HyperLogLog) — an
+    exact distinct is the one profile stat that NEEDS a value shuffle."""
+
+    def local(t: pa.Table) -> pa.Table:
+        # typed wide layout: one row per block, typed min/max per column
+        # (stringifying BEFORE the merge would order int renders
+        # lexicographically: min("10", "9") = "10")
+        import pyarrow.compute as pc
+
+        data = {}
+        for col in cols:
+            a = t[col]
+            data[f"{col}__n"] = pa.array([len(a)], pa.int64())
+            data[f"{col}__nn"] = pa.array([a.null_count], pa.int64())
+            data[f"{col}__min"] = pa.array([pc.min(a).as_py()], a.type)
+            data[f"{col}__max"] = pa.array([pc.max(a).as_py()], a.type)
+        return pa.table(data)
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out_c, out_n, out_nn, out_mn, out_mx = [], [], [], [], []
+        for col in cols:
+            mn = pc.min(t[f"{col}__min"]).as_py()
+            mx = pc.max(t[f"{col}__max"]).as_py()
+            out_c.append(col)
+            out_n.append(pc.sum(t[f"{col}__n"]).as_py())
+            out_nn.append(pc.sum(t[f"{col}__nn"]).as_py())
+            out_mn.append(None if mn is None else str(mn))
+            out_mx.append(None if mx is None else str(mx))
+        return pa.table(
+            {
+                "col": pa.array(out_c, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "n_null": pa.array(out_nn, pa.int64()),
+                "min_v": pa.array(out_mn, pa.string()),
+                "max_v": pa.array(out_mx, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
