@@ -757,6 +757,144 @@ def _q_dedup_clusters(sf_dir: str):
     return duplicate_clusters(pairs, num_partitions=4)
 
 
+# ---------------------------------------------------------------------------
+# KG graph analytics — consumers of the materialized triple graph
+# (genie_ray/pipelines/graph.py); oracles are plain DuckDB SQL over the
+# golden triples Parquet (fixed-point int64 arithmetic keeps every value
+# hash-exact under distributed summation)
+# ---------------------------------------------------------------------------
+
+
+def _q_graph_degrees(sf_dir: str):
+    """Per-entity in/out/total degree over the distinct matched-triple
+    graph — one bucketed shuffle; the role union makes the full outer
+    join of the two counts implicit."""
+    from genie_ray.pipelines.graph import entity_degrees
+
+    return entity_degrees(_golden()["triples"])
+
+
+def _q_graph_pagerank(sf_dir: str):
+    """3-iteration fixed-point PageRank (damping 0.85, int64 1e-12-unit
+    mass) — per round one hash join + one bucketed groupby-sum; the SQL
+    oracle unrolls the same integer recurrence."""
+    from genie_ray.pipelines.graph import pagerank_fixed
+
+    return pagerank_fixed(_golden()["triples"], iters=3)
+
+
+def _q_graph_khop(sf_dir: str):
+    """Min-hop distance within 3 directed hops of the 3 smallest source
+    entities — distributed BFS label propagation vs a DuckDB recursive
+    CTE with the same depth bound."""
+    from genie_ray.pipelines.graph import khop_reachable
+
+    return khop_reachable(_golden()["triples"], k=3, num_seeds=3)
+
+
+def _q_graph_cooccur(sf_dir: str):
+    """Document-level entity co-occurrence pairs (ent_a < ent_b, distinct
+    doc count) — doc-bucketed vectorized self-join, then a pair-bucketed
+    count merge."""
+    from genie_ray.pipelines.graph import entity_cooccurrence
+
+    return entity_cooccurrence(_golden()["triples"])
+
+
+def _q_graph_neg_sample(sf_dir: str):
+    """Deterministic object-corruption negative samples (2 per positive
+    triple, splitmix64-indexed into the sorted entity vocabulary), false
+    negatives removed by a distributed anti-join against the positives."""
+    from genie_ray.pipelines.graph import negative_samples
+
+    return negative_samples(_golden()["triples"], per_edge=2)
+
+
+def _graph_oracle_sql(triples: str) -> dict[str, str]:
+    """DuckDB oracles for the graph-analytics family, built over the
+    golden triples Parquet. PageRank's fixed iterations are UNROLLED as
+    chained CTEs computing the identical int64 recurrence."""
+    from genie_ray.functions.sampling import splitmix64_sql
+
+    gm = (
+        "(SELECT DISTINCT subj_id, pred_id, obj_id "
+        f"FROM read_parquet('{triples}') WHERE matched)"
+    )
+    e = f"(SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {gm})"
+
+    pr = (
+        f"WITH e AS {e}, "
+        "nodes AS (SELECT src AS ent FROM e UNION SELECT dst FROM e), "
+        "od AS (SELECT src AS ent, count(*) AS od FROM e GROUP BY 1), "
+        "p AS (SELECT 1000000000000 // count(*) AS r0 FROM nodes), "
+        "r0 AS (SELECT ent, (SELECT r0 FROM p) AS rank FROM nodes)"
+    )
+    for k in range(1, 4):
+        pr += (
+            f", r{k} AS (SELECT n.ent, (15 * (SELECT r0 FROM p)) // 100 "
+            "+ (85 * coalesce(x.s, 0)) // 100 AS rank "
+            "FROM nodes n LEFT JOIN ("
+            "SELECT e.dst AS ent, sum(r.rank // o.od) AS s "
+            f"FROM e JOIN r{k-1} r ON e.src = r.ent "
+            "JOIN od o ON e.src = o.ent GROUP BY e.dst) x ON n.ent = x.ent)"
+        )
+    pr += " SELECT ent AS ent_id, rank::BIGINT AS rank FROM r3"
+
+    neg_hashed = splitmix64_sql(
+        "subj_id, pred_id, obj_id, i",
+        "(SELECT ix.*, v.i FROM idxed ix CROSS JOIN (VALUES (0),(1)) v(i))",
+        "sidx * 1000003 + oidx * 101 + i",
+    )
+    return {
+        "graph_degrees": (
+            f"WITH g AS {gm}, "
+            "o AS (SELECT subj_id AS ent, count(*) AS od FROM g GROUP BY 1), "
+            "i AS (SELECT obj_id AS ent, count(*) AS id_ FROM g GROUP BY 1) "
+            "SELECT coalesce(o.ent, i.ent) AS ent_id, "
+            "coalesce(od, 0) AS out_degree, coalesce(id_, 0) AS in_degree, "
+            "coalesce(od, 0) + coalesce(id_, 0) AS degree "
+            "FROM o FULL OUTER JOIN i ON o.ent = i.ent"
+        ),
+        "graph_pagerank": pr,
+        "graph_khop": (
+            f"WITH RECURSIVE e AS {e}, "
+            "seeds AS (SELECT DISTINCT src FROM e ORDER BY src LIMIT 3), "
+            "reach(ent, d) AS ("
+            "  SELECT src, 0 FROM seeds "
+            "  UNION SELECT e.dst, r.d + 1 FROM e JOIN reach r ON e.src = r.ent "
+            "  WHERE r.d < 3) "
+            "SELECT ent AS ent_id, min(d)::BIGINT AS hops FROM reach GROUP BY ent"
+        ),
+        "graph_cooccur": (
+            "WITH de AS (SELECT DISTINCT doc_id, subj_id AS ent "
+            f"FROM read_parquet('{triples}') WHERE matched "
+            "UNION SELECT DISTINCT doc_id, obj_id "
+            f"FROM read_parquet('{triples}') WHERE matched) "
+            "SELECT a.ent AS ent_a, b.ent AS ent_b, count(*) AS n_docs "
+            "FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.ent < b.ent "
+            "GROUP BY 1, 2"
+        ),
+        "graph_neg_sample": (
+            f"WITH tm AS {gm}, "
+            "ents AS (SELECT ent, row_number() OVER (ORDER BY ent) - 1 AS idx "
+            "  FROM (SELECT DISTINCT subj_id AS ent FROM tm "
+            "        UNION SELECT DISTINCT obj_id FROM tm)), "
+            "idxed AS (SELECT g.subj_id, g.pred_id, g.obj_id, "
+            "  es.idx AS sidx, eo.idx AS oidx FROM tm g "
+            "  JOIN ents es ON g.subj_id = es.ent "
+            "  JOIN ents eo ON g.obj_id = eo.ent), "
+            f"hashed AS (SELECT * FROM {neg_hashed}), "
+            "cand AS (SELECT h2.subj_id, h2.pred_id, h2.obj_id, h2.i, "
+            "  e.ent AS neg_obj_id FROM hashed h2 JOIN ents e ON e.idx = "
+            "  (h2.h % (SELECT count(*)::UBIGINT FROM ents))::BIGINT) "
+            "SELECT subj_id, pred_id, neg_obj_id, i::BIGINT AS sample_i "
+            "FROM cand c WHERE neg_obj_id != obj_id AND NOT EXISTS ("
+            "  SELECT 1 FROM tm WHERE tm.subj_id = c.subj_id "
+            "  AND tm.pred_id = c.pred_id AND tm.obj_id = c.neg_obj_id)"
+        ),
+    }
+
+
 def _q_ann_topk(sf_dir: str):
     import os
 
@@ -979,6 +1117,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "near_dup_cosine": _q_near_dup_cosine,
         "dedup_clusters": _q_dedup_clusters,
+        # KG graph analytics (over the materialized triple graph)
+        "graph_degrees": _q_graph_degrees,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_khop": _q_graph_khop,
+        "graph_cooccur": _q_graph_cooccur,
+        "graph_neg_sample": _q_graph_neg_sample,
         # multimodal plumbing
         "media_features": _q_media_features,
         # similarity search
@@ -1589,6 +1733,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, window_idx, sentence, linearization "
             f"FROM read_parquet('{paths['windows']}')"
         ),
+        **_graph_oracle_sql(triples),
         "dedup_clusters": (
             "WITH RECURSIVE e AS ("
             f"  SELECT id_a AS s, id_b AS d FROM read_parquet('{paths['minhash_pairs']}') "

@@ -1,0 +1,557 @@
+"""Graph analytics over the materialized KG triple table.
+
+The reference stops at materializing per-document triples (its set-based
+metrics imply the global graph, SURVEY.md §2.7 D5); a production KG
+pipeline immediately *consumes* that graph — degree statistics for
+entity-importance cuts, PageRank for ranking, k-hop neighborhoods for
+subgraph retrieval, entity co-occurrence for relatedness, and negative
+sampling for KG-embedding training data. Each operator here is shaped for
+the 100-TB regime:
+
+- **one partitioning key per stage** (entity id, or a hash bucket of it);
+  wide steps shuffle 2^k bucket values, never range-sort the key space;
+- **iterative ops (PageRank, k-hop) run a FIXED number of rounds**, each
+  round = one hash join + one bounded groupby over edge-scale data — the
+  standard scalable formulation (no global state, no driver collects);
+- **all arithmetic is int64 fixed-point** (PageRank mass in 1e-12 units),
+  so distributed summation order cannot perturb results: the DuckDB
+  oracles are hash-exact, not approximately-equal.
+
+Inputs are the canonical triples Parquet (``doc_id, subj, pred, obj,
+subj_id, pred_id, obj_id, matched, match_status`` — the output of the
+canonicalization stage, reference `genie_base_pl.py:406-433`); only
+matched triples (both endpoints + relation resolved) form graph edges.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from genie_ray.functions.sampling import splitmix64
+
+_TRIPLE = ["subj_id", "pred_id", "obj_id"]
+
+
+def _row_bucket(t: pa.Table, cols: List[str], mask: int) -> pa.Array:
+    """Deterministic hash bucket over the named columns (polars row hash —
+    stable across processes, unlike Python's salted str hash)."""
+    import polars as pl
+
+    h = pl.from_arrow(t.select(cols)).hash_rows(seed=11).to_numpy()
+    return pa.array((h & np.uint64(mask)).astype(np.int32), pa.int32())
+
+
+def _distinct(
+    ds: ray.data.Dataset, cols: List[str], num_buckets: int = 16
+) -> ray.data.Dataset:
+    """Distributed DISTINCT over ``cols``: batch-local Arrow ``group_by``
+    collapse first (the combine), then one groupby over ``num_buckets``
+    hash buckets whose merge re-collapses cross-batch duplicates — the
+    repo's standard two-phase wide-step shape (same key always lands in
+    the same bucket, so per-bucket distinct is globally exact)."""
+    mask = num_buckets - 1  # num_buckets must be 2^k
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(cols).group_by(cols).aggregate([])
+        return g.append_column("bucket", _row_bucket(g, cols, mask))
+
+    def merge(g: pa.Table) -> pa.Table:
+        return g.drop_columns(["bucket"]).group_by(cols).aggregate([])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket", num_partitions=max(1, num_buckets // 8))
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def _matched_triples(triples_path: str) -> ray.data.Dataset:
+    """Matched canonical triples, key columns only (pruned at the read)."""
+    ds = ray.data.read_parquet(triples_path, columns=_TRIPLE + ["matched"])
+    return ds.map_batches(
+        lambda t: t.filter(t["matched"]).select(_TRIPLE),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _edges(triples_path: str, num_buckets: int = 16) -> ray.data.Dataset:
+    """Distinct (src, dst) entity pairs — the graph's adjacency list
+    (parallel edges across relations collapse; self-loops stay)."""
+    g = _distinct(_matched_triples(triples_path), _TRIPLE, num_buckets)
+    e = g.map_batches(
+        lambda t: pa.table({"src": t["subj_id"], "dst": t["obj_id"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _distinct(e, ["src", "dst"], num_buckets)
+
+
+def _both_roles(ds: ray.data.Dataset, cols=("src", "dst")) -> ray.data.Dataset:
+    def flat(t: pa.Table) -> pa.Table:
+        ent = pa.chunked_array(
+            list(t[cols[0]].chunks) + list(t[cols[1]].chunks), type=pa.string()
+        )
+        return pa.table({"ent": ent})
+
+    return ds.map_batches(flat, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# degrees
+# ---------------------------------------------------------------------------
+
+
+def entity_degrees(triples_path: str, num_buckets: int = 16) -> ray.data.Dataset:
+    """Per-entity in/out/total degree over the distinct-triple graph.
+
+    One pass over the deduped edges emits (ent, out_partial, in_partial)
+    batch-combined rows; the single shuffle groups 2^k hash buckets and
+    each bucket merges with one Arrow ``group_by`` — a full-outer-join
+    of the two role counts falls out of the union representation for
+    free (an entity appearing only as object simply has no out rows)."""
+    g = _distinct(_matched_triples(triples_path), _TRIPLE, num_buckets)
+    mask = num_buckets - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.group_by("subj_id").aggregate([("subj_id", "count")])
+        inn = t.group_by("obj_id").aggregate([("obj_id", "count")])
+        t_out = pa.table(
+            {
+                "ent_id": out["subj_id"],
+                "out_p": out["subj_id_count"],
+                "in_p": pa.array(np.zeros(len(out), np.int64)),
+            }
+        )
+        t_in = pa.table(
+            {
+                "ent_id": inn["obj_id"],
+                "out_p": pa.array(np.zeros(len(inn), np.int64)),
+                "in_p": inn["obj_id_count"],
+            }
+        )
+        both = pa.concat_tables([t_out, t_in])
+        return both.append_column("bucket", _row_bucket(both, ["ent_id"], mask))
+
+    def merge(t: pa.Table) -> pa.Table:
+        m = (
+            t.drop_columns(["bucket"])
+            .group_by("ent_id")
+            .aggregate([("out_p", "sum"), ("in_p", "sum")])
+            .rename_columns(["ent_id", "out_degree", "in_degree"])
+        )
+        return m.append_column(
+            "degree", pc.add(m["out_degree"], m["in_degree"])
+        )
+
+    parts = g.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("bucket", num_partitions=max(1, num_buckets // 8)).map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-point, fixed iterations)
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10**12  # rank mass in 1e-12 units — int64 arithmetic is exact
+
+
+def pagerank_fixed(
+    triples_path: str,
+    iters: int = 3,
+    num_buckets: int = 16,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Fixed-iteration PageRank (damping 0.85) over the entity graph.
+
+    **Fixed-point int64**: ranks live in units of 1e-12 (``PR_SCALE``);
+    every update is ``base + (85 * Σ incoming) // 100`` with incoming
+    contribution ``rank // out_degree`` — pure integer ops, so the
+    distributed sum is bit-identical to the single-process/SQL value
+    regardless of addition order (floats would drift in the last ulp and
+    break hash-exact verification). Dangling-node mass is dropped (both
+    sides implement the same semantics).
+
+    Scale shape: per iteration ONE hash join (edges ⋈ ranks on src — the
+    edge list is pre-joined with out-degrees once) and ONE bucketed
+    groupby-sum keyed by dst; ranks (node-scale, ≪ edges) materialize per
+    round. O(iters) rounds, no driver-side state beyond the node count.
+    """
+    e = _edges(triples_path, num_buckets).repartition(num_partitions).materialize()
+    nodes = _distinct(_both_roles(e), ["ent"], num_buckets).materialize()
+    n = nodes.count()
+    r0 = PR_SCALE // n
+    base = (15 * r0) // 100
+    mask = num_buckets - 1
+
+    # out-degree, attached to each edge once (reused every iteration)
+    od = e.map_batches(
+        lambda t: t.group_by("src").aggregate([("src", "count")])
+        .rename_columns(["src", "od_p"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def od_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", _row_bucket(t, ["src"], mask))
+
+    def od_merge(t: pa.Table) -> pa.Table:
+        return (
+            t.drop_columns(["bucket"])
+            .group_by("src")
+            .aggregate([("od_p", "sum")])
+            .rename_columns(["src", "od"])
+        )
+
+    od = (
+        od.map_batches(od_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=max(1, num_buckets // 8))
+        .map_groups(od_merge, batch_format="pyarrow")
+        # coalesce: sort-based groupbys emit schema-less empty blocks for
+        # empty partitions, which Arrow's hash join rejects (same note as
+        # functions/dedup.py verify join)
+        .repartition(num_partitions)
+    )
+    join_args = {
+        "num_partitions": num_partitions,
+        "aggregator_ray_remote_args": {"num_cpus": 0.25},
+    }
+    e_od = (
+        e.join(od, "inner", on=("src",), **join_args)
+        .repartition(num_partitions)  # joins emit schema-less empty blocks
+        .materialize()
+    )
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"ent": t["ent"], "rank": pa.array(np.full(len(t), r0, np.int64))}
+        )
+
+    ranks = nodes.map_batches(
+        init_ranks, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        z = pa.table(
+            {"ent": t["ent"], "s_p": pa.array(np.zeros(len(t), np.int64))}
+        )
+        return z.append_column("bucket", _row_bucket(z, ["ent"], mask))
+
+    zeros = nodes.map_batches(
+        zero_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        c = (
+            t["rank"].combine_chunks().to_numpy(zero_copy_only=False)
+            // t["od"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        g = (
+            pa.table({"ent": t["dst"], "s_p": pa.array(c, pa.int64())})
+            .group_by("ent")
+            .aggregate([("s_p", "sum")])
+            .rename_columns(["ent", "s_p"])
+        )
+        return g.append_column("bucket", _row_bucket(g, ["ent"], mask))
+
+    def update(t: pa.Table) -> pa.Table:
+        m = (
+            t.drop_columns(["bucket"])
+            .group_by("ent")
+            .aggregate([("s_p", "sum")])
+        )
+        s = m["s_p_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        rank = base + (85 * s) // 100
+        return pa.table({"ent": m["ent"], "rank": pa.array(rank, pa.int64())})
+
+    for _ in range(iters):
+        sums = e_od.join(
+            ranks.map_batches(
+                lambda t: t.rename_columns(["src", "rank"]),
+                batch_format="pyarrow",
+            ),
+            "inner",
+            on=("src",),
+            **join_args,
+        ).map_batches(contrib, batch_format="pyarrow")
+        ranks = (
+            sums.union(zeros)
+            .groupby("bucket", num_partitions=max(1, num_buckets // 8))
+            .map_groups(update, batch_format="pyarrow")
+            .repartition(num_partitions)  # join input: no empty-schema blocks
+            .materialize()
+        )
+
+    return ranks.map_batches(
+        lambda t: t.rename_columns(["ent_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-hop reachability
+# ---------------------------------------------------------------------------
+
+
+def khop_reachable(
+    triples_path: str,
+    k: int = 3,
+    num_seeds: int = 3,
+    num_buckets: int = 16,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Entities reachable within ``k`` directed hops of the seed set (the
+    ``num_seeds`` lexicographically-smallest source entities — a
+    deterministic stand-in for a user-provided seed list), with the
+    minimum hop distance.
+
+    Distributed BFS by label propagation: ``labels = (ent, hops)`` starts
+    at the seeds with 0; each of the k rounds hash-joins edges against
+    labels on src, emits (dst, hops+1), and folds with a bucketed
+    groupby-MIN — one join + one bounded shuffle per round, labels
+    (node-scale) materialized per round, same shape as
+    ``duplicate_clusters`` (`functions/dedup.py`)."""
+    e = _edges(triples_path, num_buckets).repartition(num_partitions).materialize()
+    seeds = _distinct(e.select_columns(["src"]), ["src"], num_buckets).sort(
+        "src"
+    ).limit(num_seeds)
+    mask = num_buckets - 1
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"ent": t["src"], "hops": pa.array(np.zeros(len(t), np.int64))}
+        )
+
+    labels = seeds.map_batches(
+        init_labels, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    join_args = {
+        "num_partitions": num_partitions,
+        "aggregator_ray_remote_args": {"num_cpus": 0.25},
+    }
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", _row_bucket(t, ["ent"], mask))
+
+    def fold_min(t: pa.Table) -> pa.Table:
+        return (
+            t.drop_columns(["bucket"])
+            .group_by("ent")
+            .aggregate([("hops", "min")])
+            .rename_columns(["ent", "hops"])
+        )
+
+    for _ in range(k):
+        nbr = e.join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["src", "hops"]),
+                batch_format="pyarrow",
+            ),
+            "inner",
+            on=("src",),
+            **join_args,
+        ).map_batches(
+            lambda t: pa.table(
+                {"ent": t["dst"], "hops": pc.add(t["hops"], 1)}
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(nbr)
+            .map_batches(bucketed, batch_format="pyarrow")
+            .groupby("bucket", num_partitions=max(1, num_buckets // 8))
+            .map_groups(fold_min, batch_format="pyarrow")
+            .repartition(num_partitions)  # join input: no empty-schema blocks
+            .materialize()
+        )
+
+    return labels.map_batches(
+        lambda t: t.rename_columns(["ent_id", "hops"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# document-level entity co-occurrence
+# ---------------------------------------------------------------------------
+
+
+def entity_cooccurrence(
+    triples_path: str, num_buckets: int = 16
+) -> ray.data.Dataset:
+    """Unordered entity pairs co-mentioned in the same document, with the
+    number of distinct co-mentioning documents.
+
+    Phase 1 buckets distinct (doc, entity) rows BY DOCUMENT hash, so every
+    document's entity set lands whole in one bucket; inside a bucket one
+    vectorized polars self-join on doc_id generates the ``ent_a < ent_b``
+    pairs for all docs at once (no per-doc Python) and pre-counts them.
+    Phase 2 merges the per-bucket partial counts with a second bounded
+    groupby keyed by pair hash. Skew note: a document mentioning m
+    entities emits m(m-1)/2 pairs — extraction bounds m (≤ beams ×
+    triples per doc), which is what keeps this quadratic term constant."""
+    import polars as pl
+
+    ds = ray.data.read_parquet(
+        triples_path, columns=["doc_id", "subj_id", "obj_id", "matched"]
+    )
+    mask = num_buckets - 1
+
+    def de_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t["matched"])
+        de = pa.table(
+            {
+                "doc_id": pa.chunked_array(
+                    list(t["doc_id"].chunks) * 2, type=pa.string()
+                ),
+                "ent": pa.chunked_array(
+                    list(t["subj_id"].chunks) + list(t["obj_id"].chunks),
+                    type=pa.string(),
+                ),
+            }
+        )
+        g = de.group_by(["doc_id", "ent"]).aggregate([])
+        return g.append_column("bucket", _row_bucket(g, ["doc_id"], mask))
+
+    def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        g = (
+            t.drop_columns(["bucket"])
+            .group_by(["doc_id", "ent"])
+            .aggregate([])  # cross-batch re-distinct within the bucket
+        )
+        df = pl.from_arrow(g)
+        pairs = (
+            df.join(df, on="doc_id", suffix="_b")
+            .filter(pl.col("ent") < pl.col("ent_b"))
+            .group_by(["ent", "ent_b"])
+            .len()
+            .rename({"ent": "ent_a", "ent_b": "ent_b", "len": "n_p"})
+        )
+        out = pairs.to_arrow()
+        out = pa.table(
+            {
+                "ent_a": out["ent_a"].cast(pa.string()),
+                "ent_b": out["ent_b"].cast(pa.string()),
+                "n_p": out["n_p"].cast(pa.int64()),
+            }
+        )
+        return out.append_column(
+            "bucket2", _row_bucket(out, ["ent_a", "ent_b"], mask)
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        return (
+            t.drop_columns(["bucket2"])
+            .group_by(["ent_a", "ent_b"])
+            .aggregate([("n_p", "sum")])
+            .rename_columns(["ent_a", "ent_b", "n_docs"])
+        )
+
+    return (
+        ds.map_batches(de_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket", num_partitions=max(1, num_buckets // 8))
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby("bucket2", num_partitions=max(1, num_buckets // 8))
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# negative sampling (KG-embedding training data)
+# ---------------------------------------------------------------------------
+
+
+def negative_samples(
+    triples_path: str,
+    per_edge: int = 2,
+    num_buckets: int = 16,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Deterministic object-corruption negatives: for each distinct
+    positive triple (s, p, o) and sample index i < ``per_edge``, replace o
+    with ``ents[splitmix64(sidx·1000003 + oidx·101 + i) mod |ents|]``
+    (``ents`` = the sorted entity vocabulary, ``sidx/oidx`` = positions in
+    it), then drop self-corruptions (o' = o) and **false negatives** —
+    corrupted triples that happen to be true — via a distributed
+    anti-join against the positive set. Seedless and partition-invariant:
+    the hash depends only on triple content, so retries/reshards
+    reproduce identical samples (same contract as ``split_assign``).
+
+    The sorted entity vocabulary is the canonical *small side* (the
+    entity catalog — the same broadcast assumption as J1/J2
+    canonicalization, `genie_base_pl.py:406-410`): it ships to tasks once
+    via the closure/object store, and index lookup is one vectorized
+    ``pc.index_in`` per batch. If the vocabulary ever outgrew broadcast,
+    sidx/oidx would come from two hash joins against an indexed entity
+    table instead (the ``canonicalize_via_join`` path)."""
+    g = (
+        _distinct(_matched_triples(triples_path), _TRIPLE, num_buckets)
+        .repartition(num_partitions)
+        .materialize()
+    )
+    ents_tab = _distinct(
+        _both_roles(g, cols=("subj_id", "obj_id")), ["ent"], num_buckets
+    ).to_pandas()
+    ents = np.sort(ents_tab["ent"].to_numpy())  # row_number() ORDER BY ent parity
+    n_ents = np.uint64(len(ents))
+    ents_pa = pa.array(ents, pa.string())
+
+    def gen(t: pa.Table) -> pa.Table:
+        sidx = pc.index_in(t["subj_id"], ents_pa).cast(pa.uint64()).to_numpy(
+            zero_copy_only=False
+        )
+        oidx = pc.index_in(t["obj_id"], ents_pa).cast(pa.uint64()).to_numpy(
+            zero_copy_only=False
+        )
+        outs = []
+        for i in range(per_edge):
+            key = sidx * np.uint64(1000003) + oidx * np.uint64(101) + np.uint64(i)
+            nidx = (splitmix64(key) % n_ents).astype(np.int64)
+            neg = ents[nidx]
+            keep = neg != t["obj_id"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "subj_id": t["subj_id"].combine_chunks().filter(
+                            pa.array(keep)
+                        ),
+                        "pred_id": t["pred_id"].combine_chunks().filter(
+                            pa.array(keep)
+                        ),
+                        "neg_obj_id": pa.array(neg[keep], pa.string()),
+                        "sample_i": pa.array(
+                            np.full(int(keep.sum()), i, np.int64)
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    cands = g.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+
+    # anti-join: drop corrupted triples that are actually true positives
+    marked = g.map_batches(
+        lambda t: t.append_column(
+            "hit", pa.array(np.ones(len(t), np.int8))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = cands.join(
+        marked,
+        "left_outer",
+        num_partitions=num_partitions,
+        on=("subj_id", "pred_id", "neg_obj_id"),
+        right_on=("subj_id", "pred_id", "obj_id"),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["hit"])).select(
+            ["subj_id", "pred_id", "neg_obj_id", "sample_i"]
+        ),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,151 @@
+"""Graph-analytics semantics on hand-built micro graphs — complements the
+oracle-parity checks in test_queries_vs_duckdb.py with cases small enough
+to verify by hand (dangling mass, hop minimality, self-corruption and
+false-negative removal)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from genie_ray.pipelines.graph import (
+    PR_SCALE,
+    entity_cooccurrence,
+    entity_degrees,
+    khop_reachable,
+    negative_samples,
+    pagerank_fixed,
+)
+
+
+def _write_triples(tmp_path, rows):
+    """rows: list of (doc_id, subj_id, pred_id, obj_id, matched)."""
+    path = os.path.join(str(tmp_path), "triples.parquet")
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(cols[0], pa.string()),
+                "subj": pa.array(cols[1], pa.string()),
+                "pred": pa.array(cols[2], pa.string()),
+                "obj": pa.array(cols[3], pa.string()),
+                "subj_id": pa.array(cols[1], pa.string()),
+                "pred_id": pa.array(cols[2], pa.string()),
+                "obj_id": pa.array(cols[3], pa.string()),
+                "matched": pa.array(cols[4], pa.bool_()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+# A -> B -> C, A -> C, plus an unmatched row that must be ignored and a
+# duplicate (doc2 repeats A->B) that must collapse in the distinct graph.
+_CHAIN = [
+    ("d1", "A", "p", "B", True),
+    ("d1", "B", "p", "C", True),
+    ("d1", "A", "q", "C", True),
+    ("d2", "A", "p", "B", True),
+    ("d2", "X", "p", "Y", False),  # unmatched: not an edge
+]
+
+
+def test_degrees_chain(ray_session, tmp_path):
+    path = _write_triples(tmp_path, _CHAIN)
+    got = (
+        entity_degrees(path, num_buckets=8)
+        .to_pandas()
+        .set_index("ent_id")
+        .sort_index()
+    )
+    # distinct triples: (A,p,B), (B,p,C), (A,q,C)
+    assert got.loc["A", "out_degree"] == 2 and got.loc["A", "in_degree"] == 0
+    assert got.loc["B", "out_degree"] == 1 and got.loc["B", "in_degree"] == 1
+    assert got.loc["C", "out_degree"] == 0 and got.loc["C", "in_degree"] == 2
+    assert (got["degree"] == got["out_degree"] + got["in_degree"]).all()
+    assert "X" not in got.index  # unmatched rows contribute nothing
+
+
+def test_pagerank_fixed_point_chain(ray_session, tmp_path):
+    path = _write_triples(tmp_path, _CHAIN)
+    got = (
+        pagerank_fixed(path, iters=2, num_buckets=8, num_partitions=2)
+        .to_pandas()
+        .set_index("ent_id")["rank"]
+        .sort_index()
+    )
+    # hand-rolled integer recurrence on edges A->B, B->C, A->C
+    n = 3
+    r0 = PR_SCALE // n
+    base = (15 * r0) // 100
+    ranks = {"A": r0, "B": r0, "C": r0}
+    for _ in range(2):
+        contrib = {
+            "B": ranks["A"] // 2,
+            "C": ranks["A"] // 2 + ranks["B"] // 1,
+        }
+        ranks = {v: base + (85 * contrib.get(v, 0)) // 100 for v in ranks}
+    assert got.to_dict() == ranks
+    # C is the sink: strictly the highest rank; A (no in-edges) the lowest
+    assert ranks["C"] > ranks["B"] > ranks["A"]
+
+
+def test_khop_min_distance(ray_session, tmp_path):
+    # A -> B -> C and the shortcut A -> C: C must report hops=1 (min), not 2.
+    # D -> E is disconnected from the seeds' component... except D sorts
+    # into the seed set (3 smallest sources: A, B, D).
+    rows = _CHAIN + [("d3", "D", "p", "E", True)]
+    path = _write_triples(tmp_path, rows)
+    got = (
+        khop_reachable(path, k=3, num_seeds=3, num_buckets=8, num_partitions=2)
+        .to_pandas()
+        .set_index("ent_id")["hops"]
+        .to_dict()
+    )
+    assert got == {"A": 0, "B": 0, "D": 0, "C": 1, "E": 1}
+
+
+def test_khop_excludes_unreached(ray_session, tmp_path):
+    # only 1 seed (A): D/E unreachable and absent from the output
+    rows = _CHAIN + [("d3", "D", "p", "E", True)]
+    path = _write_triples(tmp_path, rows)
+    got = (
+        khop_reachable(path, k=2, num_seeds=1, num_buckets=8, num_partitions=2)
+        .to_pandas()
+        .set_index("ent_id")["hops"]
+        .to_dict()
+    )
+    assert got == {"A": 0, "B": 1, "C": 1}
+
+
+def test_cooccurrence_pairs(ray_session, tmp_path):
+    # d1 mentions {A,B,C}; d2 mentions {A,B}; pair (A,B) in 2 docs
+    path = _write_triples(tmp_path, _CHAIN)
+    got = entity_cooccurrence(path, num_buckets=8).to_pandas()
+    got = {
+        (r.ent_a, r.ent_b): r.n_docs for r in got.itertuples()
+    }
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+    assert all(a < b for a, b in got)  # canonical unordered pairs
+
+
+def test_negative_samples_exclusions(ray_session, tmp_path):
+    path = _write_triples(tmp_path, _CHAIN)
+    got = negative_samples(
+        path, per_edge=4, num_buckets=8, num_partitions=2
+    ).to_pandas()
+    positives = {("A", "p", "B"), ("B", "p", "C"), ("A", "q", "C")}
+    for r in got.itertuples():
+        corrupted = (r.subj_id, r.pred_id, r.neg_obj_id)
+        assert corrupted not in positives, "false negative survived"
+    # determinism: a second run yields the identical sample set
+    again = negative_samples(
+        path, per_edge=4, num_buckets=8, num_partitions=2
+    ).to_pandas()
+    key = ["subj_id", "pred_id", "neg_obj_id", "sample_i"]
+    assert sorted(map(tuple, got[key].values.tolist())) == sorted(
+        map(tuple, again[key].values.tolist())
+    )
