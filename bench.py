@@ -143,12 +143,59 @@ def _sf_scaled_ops(sf_dir: str) -> dict:
 
         return approx_distinct(read_docs(), ("doc_id", "text"))
 
+    # -- graph analytics: sf-scaled synthetic triple graph (the queries()
+    # entries are pinned to the small golden fixture; BENCH runs the same
+    # operators over 2M×sf edges with skewed subject popularity) --------
+    sf = _sf_from_dir(sf_dir)
+    n_triples = max(20_000, int(2_000_000 * sf))
+    graph_path = f"/tmp/genie_bench_triples_{n_triples}.parquet"
+
+    def triples_path():
+        if not os.path.exists(graph_path):
+            from genie_ray.fixtures import write_triples_parquet
+
+            write_triples_parquet(graph_path, n_triples=n_triples,
+                                  n_entities=n_triples // 10,
+                                  n_docs=n_triples // 5)
+        return graph_path
+
+    # bucket/partition sizing (measured at 200k edges / 32 CPUs): pure
+    # bucketed groupbys speed up with more buckets (cooccur 19.2->7.6 s at
+    # 64); the iterative JOIN ops slow down with more join partitions
+    # (pagerank 9.7->29 s at 16) — joins pay per-partition fixed cost,
+    # groupbys parallelize the merge
+    def op_graph_degrees(_):
+        from genie_ray.pipelines.graph import entity_degrees
+
+        return entity_degrees(triples_path(), num_buckets=64)
+
+    def op_graph_pagerank(_):
+        from genie_ray.pipelines.graph import pagerank_fixed
+
+        return pagerank_fixed(triples_path(), iters=3, num_buckets=16,
+                              num_partitions=8)
+
+    def op_graph_cooccur(_):
+        from genie_ray.pipelines.graph import entity_cooccurrence
+
+        return entity_cooccurrence(triples_path(), num_buckets=64)
+
+    def op_graph_neg_sample(_):
+        from genie_ray.pipelines.graph import negative_samples
+
+        return negative_samples(triples_path(), per_edge=2, num_buckets=16,
+                                num_partitions=8)
+
     return {
         "lang_id": op_lang_id,
         "simhash": op_simhash,
         "minhash_dup_pairs": op_minhash_dup_pairs,
         "ivf_topk": op_ivf_topk,
         "approx_distinct": op_approx_distinct,
+        "graph_degrees": op_graph_degrees,
+        "graph_pagerank": op_graph_pagerank,
+        "graph_cooccur": op_graph_cooccur,
+        "graph_neg_sample": op_graph_neg_sample,
     }
 
 
@@ -170,6 +217,8 @@ def run_query_suite(sf_dir: str) -> dict:
         "exact_dedup", "simhash", "simhash_dup_pairs", "minhash_dup_pairs",
         "near_dup_cosine", "ann_topk", "ivf_topk",
         "sample_filter_drop", "ignore_relinearize", "explode_windows",
+        "graph_degrees", "graph_pagerank", "graph_cooccur",
+        "graph_neg_sample",
     ]
     times = {}
     for name in names:

@@ -349,3 +349,57 @@ def make_embeddings(
             "label": pa.array(labels.astype(np.int32)),
         }
     )
+
+
+# -- synthetic triple graph (graph-analytics bench input) ---------------------
+
+
+def write_triples_parquet(
+    path: str,
+    n_triples: int = 200_000,
+    n_entities: int = 20_000,
+    n_relations: int = 40,
+    n_docs: int = 40_000,
+    seed: int = 42,
+) -> str:
+    """Deterministic sf-scalable triples table in the canonicalized-output
+    shape (doc_id, subj/pred/obj surface+id columns, matched flag) for
+    benching the graph-analytics family at realistic edge counts. Subject
+    popularity is skewed (quadratic hash ramp) so degree distributions and
+    hot-key behavior resemble a real KG; ~5% of rows are unmatched (the
+    canonicalizer's miss rate) and must be excluded by consumers. Pure
+    splitmix64 over the row index — regeneration is bit-identical."""
+    from genie_ray.functions.sampling import splitmix64
+
+    i = np.arange(n_triples, dtype=np.uint64)
+    hs = splitmix64(i * np.uint64(3) + np.uint64(seed))
+    hp = splitmix64(i * np.uint64(3) + np.uint64(1) + np.uint64(seed))
+    ho = splitmix64(i * np.uint64(3) + np.uint64(2) + np.uint64(seed))
+    hd = splitmix64(i + np.uint64(77) + np.uint64(seed))
+    # quadratic ramp: low ids picked far more often (popular entities)
+    s_idx = (((hs % np.uint64(1 << 20)).astype(np.float64) / (1 << 20)) ** 2
+             * n_entities).astype(np.int64)
+    o_idx = (ho % np.uint64(n_entities)).astype(np.int64)
+    p_idx = (hp % np.uint64(n_relations)).astype(np.int64)
+    d_idx = (hd % np.uint64(n_docs)).astype(np.int64)
+    matched = (splitmix64(i + np.uint64(5150)) % np.uint64(100)) >= np.uint64(5)
+
+    def ids(prefix: str, idx: np.ndarray) -> pa.Array:
+        return pa.array(np.char.add(prefix, idx.astype("U8")), pa.string())
+
+    t = pa.table(
+        {
+            "doc_id": ids("d", d_idx),
+            "subj": ids("s ", s_idx),
+            "pred": ids("r ", p_idx),
+            "obj": ids("o ", o_idx),
+            "subj_id": ids("E", s_idx),
+            "pred_id": ids("P", p_idx),
+            "obj_id": ids("E", o_idx),
+            "matched": pa.array(matched),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, path, row_group_size=32_768)
+    return path

@@ -65,19 +65,28 @@ def _distinct(
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket", num_partitions=max(1, num_buckets // 8))
+        .groupby("bucket", num_partitions=max(1, num_buckets // 2))
         .map_groups(merge, batch_format="pyarrow")
     )
 
 
-def _matched_triples(triples_path: str) -> ray.data.Dataset:
-    """Matched canonical triples, key columns only (pruned at the read)."""
+def _matched_triples(
+    triples_path: str, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Matched canonical triples, key columns only (pruned at the read).
+
+    Coalesced to ``num_partitions`` blocks right after the projection:
+    sort/shuffle cost tracks input BLOCK count, not bytes (a single small
+    parquet file arrives as 64 SplitBlocks splits — measured 5x slower
+    through the first bucket groupby; same note as left_join_nulls). The
+    rows at this point are three short id columns, so the move is cheap;
+    at real scale callers raise ``num_partitions`` with input size."""
     ds = ray.data.read_parquet(triples_path, columns=_TRIPLE + ["matched"])
     return ds.map_batches(
         lambda t: t.filter(t["matched"]).select(_TRIPLE),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).repartition(num_partitions)
 
 
 def _edges(triples_path: str, num_buckets: int = 16) -> ray.data.Dataset:
@@ -150,7 +159,7 @@ def entity_degrees(triples_path: str, num_buckets: int = 16) -> ray.data.Dataset
         )
 
     parts = g.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return parts.groupby("bucket", num_partitions=max(1, num_buckets // 8)).map_groups(merge, batch_format="pyarrow")
+    return parts.groupby("bucket", num_partitions=max(1, num_buckets // 2)).map_groups(merge, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -209,7 +218,7 @@ def pagerank_fixed(
 
     od = (
         od.map_batches(od_bucket, batch_format="pyarrow")
-        .groupby("bucket", num_partitions=max(1, num_buckets // 8))
+        .groupby("bucket", num_partitions=max(1, num_buckets // 2))
         .map_groups(od_merge, batch_format="pyarrow")
         # coalesce: sort-based groupbys emit schema-less empty blocks for
         # empty partitions, which Arrow's hash join rejects (same note as
@@ -280,7 +289,7 @@ def pagerank_fixed(
         ).map_batches(contrib, batch_format="pyarrow")
         ranks = (
             sums.union(zeros)
-            .groupby("bucket", num_partitions=max(1, num_buckets // 8))
+            .groupby("bucket", num_partitions=max(1, num_buckets // 2))
             .map_groups(update, batch_format="pyarrow")
             .repartition(num_partitions)  # join input: no empty-schema blocks
             .materialize()
@@ -362,7 +371,7 @@ def khop_reachable(
         labels = (
             labels.union(nbr)
             .map_batches(bucketed, batch_format="pyarrow")
-            .groupby("bucket", num_partitions=max(1, num_buckets // 8))
+            .groupby("bucket", num_partitions=max(1, num_buckets // 2))
             .map_groups(fold_min, batch_format="pyarrow")
             .repartition(num_partitions)  # join input: no empty-schema blocks
             .materialize()
@@ -396,7 +405,7 @@ def entity_cooccurrence(
 
     ds = ray.data.read_parquet(
         triples_path, columns=["doc_id", "subj_id", "obj_id", "matched"]
-    )
+    ).repartition(max(8, num_buckets // 4))  # small-file SplitBlocks coalesce
     mask = num_buckets - 1
 
     def de_partial(t: pa.Table) -> pa.Table:
@@ -451,9 +460,9 @@ def entity_cooccurrence(
 
     return (
         ds.map_batches(de_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket", num_partitions=max(1, num_buckets // 8))
+        .groupby("bucket", num_partitions=max(1, num_buckets // 2))
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
-        .groupby("bucket2", num_partitions=max(1, num_buckets // 8))
+        .groupby("bucket2", num_partitions=max(1, num_buckets // 2))
         .map_groups(merge, batch_format="pyarrow")
     )
 
