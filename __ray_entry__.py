@@ -801,6 +801,15 @@ def _q_graph_cooccur(sf_dir: str):
     return entity_cooccurrence(_golden()["triples"])
 
 
+def _q_graph_paths2(sf_dir: str):
+    """2-hop relation path pattern counts (t1.obj = t2.subj chains,
+    grouped by relation pair) — one mid-entity hash join + batch-local
+    pair-count partials merged in a bounded bucket groupby."""
+    from genie_ray.pipelines.graph import relation_paths2
+
+    return relation_paths2(_golden()["triples"])
+
+
 def _q_graph_neg_sample(sf_dir: str):
     """Deterministic object-corruption negative samples (2 per positive
     triple, splitmix64-indexed into the sorted entity vocabulary), false
@@ -856,6 +865,12 @@ def _graph_oracle_sql(triples: str) -> dict[str, str]:
             "FROM o FULL OUTER JOIN i ON o.ent = i.ent"
         ),
         "graph_pagerank": pr,
+        "graph_paths2": (
+            f"WITH g AS {gm} "
+            "SELECT a.pred_id AS pred_a, b.pred_id AS pred_b, "
+            "count(*) AS n_paths "
+            "FROM g a JOIN g b ON a.obj_id = b.subj_id GROUP BY 1, 2"
+        ),
         "graph_khop": (
             f"WITH RECURSIVE e AS {e}, "
             "seeds AS (SELECT DISTINCT src FROM e ORDER BY src LIMIT 3), "
@@ -1122,6 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,
         "graph_khop": _q_graph_khop,
         "graph_cooccur": _q_graph_cooccur,
+        "graph_paths2": _q_graph_paths2,
         "graph_neg_sample": _q_graph_neg_sample,
         # multimodal plumbing
         "media_features": _q_media_features,

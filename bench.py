@@ -186,6 +186,11 @@ def _sf_scaled_ops(sf_dir: str) -> dict:
         return negative_samples(triples_path(), per_edge=2, num_buckets=16,
                                 num_partitions=8)
 
+    def op_graph_paths2(_):
+        from genie_ray.pipelines.graph import relation_paths2
+
+        return relation_paths2(triples_path())
+
     return {
         "lang_id": op_lang_id,
         "simhash": op_simhash,
@@ -196,6 +201,7 @@ def _sf_scaled_ops(sf_dir: str) -> dict:
         "graph_pagerank": op_graph_pagerank,
         "graph_cooccur": op_graph_cooccur,
         "graph_neg_sample": op_graph_neg_sample,
+        "graph_paths2": op_graph_paths2,
     }
 
 
@@ -218,7 +224,7 @@ def run_query_suite(sf_dir: str) -> dict:
         "near_dup_cosine", "ann_topk", "ivf_topk",
         "sample_filter_drop", "ignore_relinearize", "explode_windows",
         "graph_degrees", "graph_pagerank", "graph_cooccur",
-        "graph_neg_sample",
+        "graph_neg_sample", "graph_paths2",
     ]
     times = {}
     for name in names:

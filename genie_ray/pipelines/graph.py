@@ -565,3 +565,76 @@ def negative_samples(
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-hop relation path patterns
+# ---------------------------------------------------------------------------
+
+
+def relation_paths2(
+    triples_path: str,
+    num_buckets: int = 16,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Counts of 2-hop relation path patterns: for every pair of distinct
+    matched triples (s, p1, m) and (m, p2, o) chained through a middle
+    entity, one path instance grouped by (p1, p2) — the classic KG
+    pattern-mining primitive (association-rule / meta-path statistics).
+
+    One hash join of the distinct triple set against itself on the
+    middle-entity key, then batch-local Arrow ``group_by`` partials over
+    the (pred_a, pred_b) pairs (relation-pair cardinality is tiny —
+    |relations|², so partials collapse almost completely before the final
+    bucketed merge). Skew note: a hub entity with in-degree i and
+    out-degree o contributes i·o join rows — at corpus scale, cap or
+    sample hub middles before the join (same hot-bucket treatment as the
+    LSH candidate caps in functions/dedup.py) and log the truncation."""
+    g = (
+        _distinct(_matched_triples(triples_path, num_partitions), _TRIPLE,
+                  num_buckets)
+        .repartition(num_partitions)
+        .materialize()
+    )
+    a = g.map_batches(
+        lambda t: pa.table({"mid": t["obj_id"], "pred_a": t["pred_id"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    b = g.map_batches(
+        lambda t: pa.table({"mid": t["subj_id"], "pred_b": t["pred_id"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = a.join(
+        b,
+        "inner",
+        num_partitions=num_partitions,
+        on=("mid",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    mask = num_buckets - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = (
+            t.group_by(["pred_a", "pred_b"])
+            .aggregate([("mid", "count")])
+            .rename_columns(["pred_a", "pred_b", "n_p"])
+        )
+        return p.append_column(
+            "bucket", _row_bucket(p, ["pred_a", "pred_b"], mask)
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        return (
+            t.drop_columns(["bucket"])
+            .group_by(["pred_a", "pred_b"])
+            .aggregate([("n_p", "sum")])
+            .rename_columns(["pred_a", "pred_b", "n_paths"])
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=max(1, num_buckets // 2))
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -149,3 +149,22 @@ def test_negative_samples_exclusions(ray_session, tmp_path):
     assert sorted(map(tuple, got[key].values.tolist())) == sorted(
         map(tuple, again[key].values.tolist())
     )
+
+
+def test_relation_paths2_chain(ray_session, tmp_path):
+    from genie_ray.pipelines.graph import relation_paths2
+
+    # paths through B: (A,p,B)->(B,p,C); through C: (B,p,C)->(C,?,..) none;
+    # (A,q,C) has no outgoing from C -> patterns: (p,p) x1, (q,?) none...
+    # add (C,r,A) to create (p,r) and (q,r) patterns and a cycle.
+    rows = _CHAIN + [("d3", "C", "r", "A", True)]
+    path = _write_triples(tmp_path, rows)
+    got = relation_paths2(path, num_buckets=8, num_partitions=2).to_pandas()
+    got = {(r.pred_a, r.pred_b): r.n_paths for r in got.itertuples()}
+    # edges: A-p->B, B-p->C, A-q->C, C-r->A
+    # chains: (A,p,B)(B,p,C)=pp; (B,p,C)(C,r,A)=pr; (A,q,C)(C,r,A)=qr;
+    # (C,r,A)(A,p,B)=rp; (C,r,A)(A,q,C)=rq
+    assert got == {
+        ("p", "p"): 1, ("p", "r"): 1, ("q", "r"): 1,
+        ("r", "p"): 1, ("r", "q"): 1,
+    }
