@@ -801,6 +801,37 @@ def _q_graph_cooccur(sf_dir: str):
     return entity_cooccurrence(_golden()["triples"])
 
 
+def _q_graph_merge(sf_dir: str):
+    """Incremental graph ingestion: build an aggregated graph from the
+    'old' half of the corpus (doc sha first hex digit < '8'), then fold
+    the remaining triples in with ``merge_graph_increment`` — the result
+    must equal the full-build graph (the oracle aggregates ALL matched
+    triples in one pass), proving merge==recompute equivalence."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from genie_ray.pipelines.kg import merge_graph_increment
+
+    cols = ["doc_id", "subj_id", "pred_id", "obj_id", "matched"]
+
+    def side(old: bool):
+        ds = ray.data.read_parquet(_golden()["triples"], columns=cols)
+
+        def split(t, old=old):
+            first = pc.utf8_slice_codeunits(t["doc_id"], 0, 1)
+            mask = pc.less(first, "8") if old else pc.greater_equal(first, "8")
+            return t.filter(pc.and_(mask, t["matched"]))
+
+        return ds.map_batches(split, batch_format="pyarrow").repartition(4)
+
+    old_graph = merge_graph_increment(None, side(True), num_buckets=8).materialize()
+    merged = merge_graph_increment(old_graph, side(False), num_buckets=8)
+    return merged.map_batches(
+        lambda t: t.select(["subj_id", "pred_id", "obj_id", "support"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_graph_paths2(sf_dir: str):
     """2-hop relation path pattern counts (t1.obj = t2.subj chains,
     grouped by relation pair) — one mid-entity hash join + batch-local
@@ -870,6 +901,11 @@ def _graph_oracle_sql(triples: str) -> dict[str, str]:
             "SELECT a.pred_id AS pred_a, b.pred_id AS pred_b, "
             "count(*) AS n_paths "
             "FROM g a JOIN g b ON a.obj_id = b.subj_id GROUP BY 1, 2"
+        ),
+        "graph_merge": (
+            "SELECT subj_id, pred_id, obj_id, count(*) AS support "
+            f"FROM read_parquet('{triples}') WHERE matched "
+            "GROUP BY subj_id, pred_id, obj_id"
         ),
         "graph_khop": (
             f"WITH RECURSIVE e AS {e}, "
@@ -1138,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_khop": _q_graph_khop,
         "graph_cooccur": _q_graph_cooccur,
         "graph_paths2": _q_graph_paths2,
+        "graph_merge": _q_graph_merge,
         "graph_neg_sample": _q_graph_neg_sample,
         # multimodal plumbing
         "media_features": _q_media_features,

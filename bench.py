@@ -191,6 +191,27 @@ def _sf_scaled_ops(sf_dir: str) -> dict:
 
         return relation_paths2(triples_path())
 
+    def op_graph_merge(_):
+        import pyarrow.compute as pc
+        import ray.data
+
+        from genie_ray.pipelines.kg import merge_graph_increment
+
+        cols = ["doc_id", "subj_id", "pred_id", "obj_id", "matched"]
+
+        def side(old):
+            ds = ray.data.read_parquet(triples_path(), columns=cols)
+
+            def split(t, old=old):
+                first = pc.utf8_slice_codeunits(t["doc_id"], 1, 2)
+                mask = pc.less(first, "5") if old else pc.greater_equal(first, "5")
+                return t.filter(pc.and_(mask, t["matched"]))
+
+            return ds.map_batches(split, batch_format="pyarrow").repartition(8)
+
+        old_graph = merge_graph_increment(None, side(True)).materialize()
+        return merge_graph_increment(old_graph, side(False))
+
     return {
         "lang_id": op_lang_id,
         "simhash": op_simhash,
@@ -202,6 +223,7 @@ def _sf_scaled_ops(sf_dir: str) -> dict:
         "graph_cooccur": op_graph_cooccur,
         "graph_neg_sample": op_graph_neg_sample,
         "graph_paths2": op_graph_paths2,
+        "graph_merge": op_graph_merge,
     }
 
 
@@ -224,7 +246,7 @@ def run_query_suite(sf_dir: str) -> dict:
         "near_dup_cosine", "ann_topk", "ivf_topk",
         "sample_filter_drop", "ignore_relinearize", "explode_windows",
         "graph_degrees", "graph_pagerank", "graph_cooccur",
-        "graph_neg_sample", "graph_paths2",
+        "graph_neg_sample", "graph_paths2", "graph_merge",
     ]
     times = {}
     for name in names:

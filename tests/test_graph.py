@@ -168,3 +168,38 @@ def test_relation_paths2_chain(ray_session, tmp_path):
         ("p", "p"): 1, ("p", "r"): 1, ("q", "r"): 1,
         ("r", "p"): 1, ("r", "q"): 1,
     }
+
+
+def test_merge_graph_increment_equals_full_build(ray_session, tmp_path):
+    """Incremental fold of a triple batch into an existing graph must be
+    indistinguishable from rebuilding over the whole corpus — support
+    counts exact, doc_ids the deterministic sorted cap."""
+    import ray.data
+
+    from genie_ray.pipelines.kg import merge_graph_increment
+
+    rows = _CHAIN + [
+        ("d3", "A", "p", "B", True),   # boosts (A,p,B) support to 3
+        ("d4", "B", "p", "C", True),
+        ("d5", "C", "r", "A", True),
+    ]
+    path = _write_triples(tmp_path, rows)
+    full = ray.data.read_parquet(path)
+    old = full.filter(lambda r: r["doc_id"] <= "d2")
+    new = full.filter(lambda r: r["doc_id"] > "d2")
+
+    def canon(ds):
+        df = ds.to_pandas()
+        df["doc_ids"] = df["doc_ids"].map(tuple)
+        cols = ["subj_id", "pred_id", "obj_id", "support", "doc_ids"]
+        return df[cols].sort_values(cols[:3]).reset_index(drop=True)
+
+    full_build = merge_graph_increment(None, full, num_buckets=8, max_doc_ids=2)
+    old_graph = merge_graph_increment(None, old, num_buckets=8, max_doc_ids=2)
+    merged = merge_graph_increment(
+        old_graph.materialize(), new, num_buckets=8, max_doc_ids=2
+    )
+    got, want = canon(merged), canon(full_build)
+    assert got.equals(want), f"\n{got}\nvs\n{want}"
+    # support is exact even where the doc_ids sample is capped at 2
+    assert int(got.loc[got.subj_id.eq("A") & got.obj_id.eq("B"), "support"].iloc[0]) == 3
