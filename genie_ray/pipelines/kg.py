@@ -34,7 +34,7 @@ import ray.data
 
 from ..sources.documents import prepare_documents, read_documents
 from ..stages.canonicalize import canonicalize_batch
-from ..stages.dedup import merge_triple_partials, partial_triple_agg
+from ..stages.dedup import merge_triple_partials_vec, partial_triple_agg_vec
 from ..stages.extract import ExtractTriples, extract_triples_task
 from ..stages.parse import parse_predictions_batch
 from ..state import lineage
@@ -242,6 +242,11 @@ def build_graph(
     bucket_meta = {
         "num_buckets": cfg.num_buckets,
         "input_fingerprint": lineage.input_fingerprint(triples_dir),
+        # v2 = vectorized polars row-hash buckets (stages/dedup.py
+        # *_vec): buckets written under the old per-row sha1 scheme hold
+        # different triples, so resuming across the scheme change must
+        # invalidate them
+        "bucket_scheme": "polars-v2",
     }
     done = (
         lineage.validated_finished_partitions(
@@ -261,7 +266,7 @@ def build_graph(
         zero_copy_batch=True,
     )
     partial = ds.map_batches(
-        partial_triple_agg,
+        partial_triple_agg_vec,
         fn_kwargs={"num_buckets": cfg.num_buckets, "max_doc_ids": cfg.max_doc_ids},
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -280,7 +285,7 @@ def build_graph(
         o_bucket, o_rows = [], []
         for bucket in pc.unique(batch["bucket"]).to_pylist():
             group = batch.filter(pc.equal(batch["bucket"], bucket))
-            merged = merge_triple_partials(group, max_doc_ids=max_doc_ids)
+            merged = merge_triple_partials_vec(group, max_doc_ids=max_doc_ids)
             manifest = lineage.write_partition(
                 merged, graph_dir, int(bucket), prefix="bucket",
                 doc_id_col="__none__", extra_meta=bucket_meta,
@@ -357,12 +362,11 @@ def merge_graph_increment(
     the corpus reproduces the full-build graph exactly (support counts
     exact; doc_ids the deterministic sorted cap — tested).
 
-    Unlike the full-build path (``partial_triple_agg`` — per-row Python,
-    acceptable once per corpus), the incremental path is fully vectorized:
-    polars group_by for the combine, list ``flatten→unique→sort→head`` for
-    the doc-id sample, a polars row hash for the bucket (the bucket only
-    needs to agree WITHIN this merge, not with the full build's sha1
-    buckets — it is a shuffle key, not an addressing scheme).
+    Fully vectorized, like the full-build path's ``*_vec`` pair in
+    ``stages/dedup.py``: polars group_by for the combine, list
+    ``flatten→unique→sort→head`` for the doc-id sample, a polars row hash
+    for the bucket (the bucket only needs to agree WITHIN this merge —
+    it is a shuffle key, not an addressing scheme).
     """
     import polars as pl
 

@@ -109,3 +109,82 @@ def merge_triple_partials(group: pa.Table, max_doc_ids: int) -> pa.Table:
             ),
         }
     )
+
+
+# -- vectorized variants (bucket scheme v2) -----------------------------------
+
+
+def partial_triple_agg_vec(
+    batch: pa.Table, num_buckets: int, max_doc_ids: int
+) -> pa.Table:
+    """Vectorized batch-local combine — identical semantics to
+    :func:`partial_triple_agg` (support = row count, doc_ids = sorted
+    unique sample capped at ``max_doc_ids``, null-component rows dropped)
+    expressed as one polars ``group_by`` + list kernels instead of a
+    Python row loop. Bucket scheme v2: a polars row hash over the triple
+    key (process-stable, vectorized) replaces the per-row sha1 — resumes
+    against scheme-v1 manifests auto-invalidate via the ``bucket_scheme``
+    key in the bucket manifest metadata."""
+    import polars as pl
+
+    mask = num_buckets - 1  # num_buckets must be 2^k
+
+    df = pl.from_arrow(
+        batch.select(["doc_id", "subj_id", "pred_id", "obj_id"])
+    ).filter(
+        pl.col("subj_id").is_not_null()
+        & pl.col("pred_id").is_not_null()
+        & pl.col("obj_id").is_not_null()
+    )
+    g = (
+        df.group_by(TRIPLE_COLS)
+        .agg(
+            support=pl.len().cast(pl.Int64),
+            doc_ids=pl.col("doc_id").unique().sort().head(max_doc_ids),
+        )
+    )
+    import numpy as np
+
+    b = (g.select(TRIPLE_COLS).hash_rows(seed=11).to_numpy()
+         & np.uint64(mask)).astype(np.int32)
+    t = g.to_arrow()
+    return pa.table(
+        {
+            "bucket": pa.array(b, pa.int32()),
+            "subj_id": t["subj_id"].cast(pa.string()),
+            "pred_id": t["pred_id"].cast(pa.string()),
+            "obj_id": t["obj_id"].cast(pa.string()),
+            "support": t["support"].cast(pa.int64()),
+            "doc_ids": t["doc_ids"].cast(pa.list_(pa.string())),
+        }
+    )
+
+
+def merge_triple_partials_vec(group: pa.Table, max_doc_ids: int) -> pa.Table:
+    """Vectorized per-bucket final merge — identical output contract to
+    :func:`merge_triple_partials` (summed support, deterministic sorted
+    capped doc-id union, lexicographic triple order) via polars list
+    ``flatten → unique → sort → head``; no per-triple Python."""
+    import polars as pl
+
+    cols = TRIPLE_COLS + ["support", "doc_ids"]
+    df = (
+        pl.from_arrow(group.select(cols))
+        .group_by(TRIPLE_COLS)
+        .agg(
+            support=pl.col("support").sum(),
+            doc_ids=pl.col("doc_ids").flatten().unique().sort()
+            .head(max_doc_ids),
+        )
+        .sort(TRIPLE_COLS)
+    )
+    t = df.to_arrow()
+    return pa.table(
+        {
+            "subj_id": t["subj_id"].cast(pa.string()),
+            "pred_id": t["pred_id"].cast(pa.string()),
+            "obj_id": t["obj_id"].cast(pa.string()),
+            "support": t["support"].cast(pa.int64()),
+            "doc_ids": t["doc_ids"].cast(pa.list_(pa.string())),
+        }
+    )

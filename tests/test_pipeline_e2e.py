@@ -326,3 +326,53 @@ def test_worker_crash_retry_reproduces_output(setup, tmp_path):
     for a, b in zip(f_clean, f_crash):
         with open(a, "rb") as fa, open(b, "rb") as fb:
             assert fa.read() == fb.read(), f"{a} differs after crash-retry"
+
+
+def test_triple_agg_vec_matches_loop_semantics():
+    """The vectorized dedup partials/merge (the production path since
+    bucket scheme v2) must reproduce the Python-loop pair's output
+    exactly — support counts, capped sorted doc-id samples, row order —
+    modulo bucket assignment (v2 hashes with polars rows, v1 with sha1;
+    the union over buckets is the contract)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from genie_ray.stages.dedup import (
+        merge_triple_partials,
+        merge_triple_partials_vec,
+        partial_triple_agg,
+        partial_triple_agg_vec,
+    )
+
+    rows = []
+    for i in range(3000):
+        rows.append(
+            {
+                "doc_id": f"d{i % 400:03d}",
+                "subj_id": f"E{(i * 7) % 50}",
+                "pred_id": f"P{(i * 3) % 5}",
+                "obj_id": f"E{(i * 11) % 60}" if i % 97 else None,  # null drop
+            }
+        )
+    batch = pa.Table.from_pylist(rows)
+    slices = [batch.slice(i, 700) for i in range(0, batch.num_rows, 700)]
+
+    def run(pf, mf):
+        parts = pa.concat_tables(
+            [pf(s, num_buckets=8, max_doc_ids=3) for s in slices]
+        )
+        out = pa.concat_tables(
+            [
+                mf(parts.filter(pc.equal(parts["bucket"], b)), max_doc_ids=3)
+                for b in pc.unique(parts["bucket"]).to_pylist()
+            ]
+        )
+        df = out.to_pandas()
+        df["doc_ids"] = df["doc_ids"].map(tuple)
+        cols = ["subj_id", "pred_id", "obj_id", "support", "doc_ids"]
+        return df[cols].sort_values(cols[:3]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        run(partial_triple_agg, merge_triple_partials),
+        run(partial_triple_agg_vec, merge_triple_partials_vec),
+    )
