@@ -1127,6 +1127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_pairs": R.distinct_pairs,
         "props_extract": R.props_extract,
         "window_tumbling": R.window_tumbling,
+        "window_hopping": R.window_hopping,
         "session_windows": R.session_windows,
         "topk_per_source": _q_topk_per_source,
         "user_running": R.user_running,
@@ -1435,6 +1436,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS window_start, "
             "count(*) AS n, round(sum(value), 2) AS sum_value "
             "FROM events GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)"
+        ),
+        "window_hopping": (
+            "WITH e2 AS ("
+            "  SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS ws, "
+            "         value FROM events "
+            "  UNION ALL "
+            "  SELECT user_id, "
+            "    time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', "
+            "    value FROM events) "
+            "SELECT user_id, ws AS window_start, count(*) AS n, "
+            "round(sum(value), 2) AS sum_value FROM e2 GROUP BY 1, 2"
         ),
         "session_windows": (
             "WITH flagged AS ("

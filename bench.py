@@ -233,7 +233,8 @@ def run_query_suite(sf_dir: str) -> dict:
 
     qs = {**E.queries(), **_sf_scaled_ops(sf_dir)}
     names = [
-        "group_agg", "join_enrich", "window_tumbling", "anti_join_unique",
+        "group_agg", "join_enrich", "window_tumbling", "window_hopping",
+        "anti_join_unique",
         "token_counts", "quality", "lang_id", "fingerprint",
         "repetition", "pii_scrub",
         "top_terms", "len_quantiles", "pack_sequences",
