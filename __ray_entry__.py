@@ -832,6 +832,38 @@ def _q_graph_merge(sf_dir: str):
     )
 
 
+def _q_fuzzy_match(sf_dir: str):
+    """Near-miss canonicalization: deterministic one-char-deletion probes
+    of every catalog surface (delete position = (ascii(first char) +
+    len) % len — the same arithmetic in SQL) resolved back against the
+    catalog via deletion-neighborhood blocking + exact edit-distance ≤ 1
+    verify; oracle is a DuckDB ``levenshtein`` join."""
+    import pyarrow as pa
+    import ray.data
+
+    from genie_ray.stages.fuzzy import fuzzy_match
+
+    cat_path = _golden()["catalog_entities"]
+    catalog = ray.data.read_parquet(cat_path, columns=["cid", "surface"])
+
+    def perturb(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t["surface"].to_pylist():
+            p = (ord(s[0]) + len(s)) % len(s)
+            out.append(s[:p] + s[p + 1 :])
+        return pa.table({"surface": pa.array(out, pa.string())})
+
+    probes = (
+        catalog.map_batches(perturb, batch_format="pyarrow")
+        .groupby("surface", num_partitions=1)
+        .count()
+        .select_columns(["surface"])
+    )
+    return fuzzy_match(
+        probes, catalog, catalog_id_col="cid", num_partitions=4
+    )
+
+
 def _q_graph_paths2(sf_dir: str):
     """2-hop relation path pattern counts (t1.obj = t2.subj chains,
     grouped by relation pair) — one mid-entity hash join + batch-local
@@ -1177,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_paths2": _q_graph_paths2,
         "graph_merge": _q_graph_merge,
         "graph_neg_sample": _q_graph_neg_sample,
+        "fuzzy_match": _q_fuzzy_match,
         # multimodal plumbing
         "media_features": _q_media_features,
         # similarity search
@@ -1731,6 +1764,17 @@ def oracle_sql() -> dict[str, str]:
         "micro_eval": micro_sql,
         "macro_eval": macro_sql,
         "bucket_eval": bucket_sql,
+        "fuzzy_match": (
+            "WITH cat AS (SELECT cid, surface "
+            f"  FROM read_parquet('{paths['catalog_entities']}')), "
+            "probes AS (SELECT DISTINCT "
+            "  substr(surface, 1, p) || substr(surface, p + 2) AS surface "
+            "  FROM (SELECT surface, (ascii(substr(surface, 1, 1)) "
+            "        + length(surface)) % length(surface) AS p FROM cat)) "
+            "SELECT p.surface, c.cid AS ent_id, "
+            "levenshtein(p.surface, c.surface)::BIGINT AS dist "
+            "FROM probes p JOIN cat c ON levenshtein(p.surface, c.surface) <= 1"
+        ),
         "catalog_from_dump": (
             "SELECT ent_id, surface, provenance "
             f"FROM read_parquet('{paths['entities']}')"
