@@ -194,6 +194,11 @@ def pagerank_fixed(
     e = _edges(triples_path, num_buckets).repartition(num_partitions).materialize()
     nodes = _distinct(_both_roles(e), ["ent"], num_buckets).materialize()
     n = nodes.count()
+    if n == 0:  # no matched edges: empty ranking, stable schema
+        return ray.data.from_arrow(
+            pa.table({"ent_id": pa.array([], pa.string()),
+                      "rank": pa.array([], pa.int64())})
+        )
     r0 = PR_SCALE // n
     base = (15 * r0) // 100
     mask = num_buckets - 1
@@ -325,6 +330,11 @@ def khop_reachable(
     (node-scale) materialized per round, same shape as
     ``duplicate_clusters`` (`functions/dedup.py`)."""
     e = _edges(triples_path, num_buckets).repartition(num_partitions).materialize()
+    if e.count() == 0:  # no matched edges: empty result, stable schema
+        return ray.data.from_arrow(
+            pa.table({"ent_id": pa.array([], pa.string()),
+                      "hops": pa.array([], pa.int64())})
+        )
     seeds = _distinct(e.select_columns(["src"]), ["src"], num_buckets).sort(
         "src"
     ).limit(num_seeds)
@@ -501,6 +511,13 @@ def negative_samples(
         .repartition(num_partitions)
         .materialize()
     )
+    if g.count() == 0:  # no positives: empty result, stable schema
+        return ray.data.from_arrow(
+            pa.table({"subj_id": pa.array([], pa.string()),
+                      "pred_id": pa.array([], pa.string()),
+                      "neg_obj_id": pa.array([], pa.string()),
+                      "sample_i": pa.array([], pa.int64())})
+        )
     ents_tab = _distinct(
         _both_roles(g, cols=("subj_id", "obj_id")), ["ent"], num_buckets
     ).to_pandas()
@@ -596,6 +613,12 @@ def relation_paths2(
         .repartition(num_partitions)
         .materialize()
     )
+    if g.count() == 0:  # no matched triples: empty result, stable schema
+        return ray.data.from_arrow(
+            pa.table({"pred_a": pa.array([], pa.string()),
+                      "pred_b": pa.array([], pa.string()),
+                      "n_paths": pa.array([], pa.int64())})
+        )
     a = g.map_batches(
         lambda t: pa.table({"mid": t["obj_id"], "pred_a": t["pred_id"]}),
         batch_format="pyarrow",

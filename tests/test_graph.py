@@ -203,3 +203,19 @@ def test_merge_graph_increment_equals_full_build(ray_session, tmp_path):
     assert got.equals(want), f"\n{got}\nvs\n{want}"
     # support is exact even where the doc_ids sample is capped at 2
     assert int(got.loc[got.subj_id.eq("A") & got.obj_id.eq("B"), "support"].iloc[0]) == 3
+
+
+def test_graph_ops_empty_input(ray_session, tmp_path):
+    """Zero matched triples: every graph op returns an empty result with
+    a stable schema instead of crashing (pagerank's node-count division,
+    khop's empty seed sort, negative sampling's empty vocabulary)."""
+    from genie_ray.pipelines.graph import relation_paths2
+
+    rows = [("d1", "X", "p", "Y", False)]  # only unmatched rows
+    path = _write_triples(tmp_path, rows)
+    assert pagerank_fixed(path, num_buckets=8, num_partitions=2).count() == 0
+    assert khop_reachable(path, num_buckets=8, num_partitions=2).count() == 0
+    assert entity_degrees(path, num_buckets=8).count() == 0
+    assert entity_cooccurrence(path, num_buckets=8).count() == 0
+    assert negative_samples(path, num_buckets=8, num_partitions=2).count() == 0
+    assert relation_paths2(path, num_buckets=8, num_partitions=2).count() == 0
