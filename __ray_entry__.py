@@ -1164,6 +1164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_source": _q_topk_per_source,
         "user_running": R.user_running,
         "rollup_stats": R.rollup_stats,
+        "cube_stats": R.cube_stats,
+        "pivot_counts": R.pivot_counts,
         "left_join_nulls": R.left_join_nulls,
         # text analysis (SQL-checked where expressible)
         "token_counts": _q_token_counts,
@@ -1389,6 +1391,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, lang, count(*) AS n, "
             "sum(n_chars)::BIGINT AS sum_chars "
             "FROM documents GROUP BY ROLLUP (source, lang)"
+        ),
+        "cube_stats": (
+            "SELECT source, lang, count(*) AS n, "
+            "sum(n_chars)::BIGINT AS sum_chars "
+            "FROM documents GROUP BY CUBE (source, lang)"
+        ),
+        "pivot_counts": (
+            "SELECT source, "
+            + ", ".join(
+                f"count(*) FILTER (lang = '{lg}')::BIGINT AS n_{lg}"
+                for lg in ("de", "en", "es", "fr", "zh")
+            )
+            + " FROM documents GROUP BY source"
         ),
         "left_join_nulls": (
             "SELECT o.o_orderkey, count(l.l_quantity) AS n_ret "

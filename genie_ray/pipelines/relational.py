@@ -719,3 +719,82 @@ def window_hopping(sf_dir: str, num_buckets: int = 32) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     out["sum_value"] = out["sum_value"].round(2)
     return out[["user_id", "window_start", "n", "sum_value"]]
+
+
+def cube_stats(sf_dir: str) -> pd.DataFrame:
+    """``GROUP BY CUBE (source, lang)`` over documents — all four grouping
+    sets. Same scale shape as ``rollup_stats``: the corpus is touched once
+    (batch-local partials, one tiny finest-level shuffle) and the three
+    coarser sets re-aggregate from the aggregate-sized finest table; CUBE
+    adds the per-lang set ROLLUP lacks."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["source", "lang"])
+            .aggregate([([], "count_all"), ("n_chars", "sum")])
+            .rename_columns(["source", "lang", "n", "sum_chars"])
+        )
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .sum(["n", "sum_chars"])
+        .to_pandas()
+        .rename(columns={"sum(n)": "n", "sum(sum_chars)": "sum_chars"})
+    )
+    per_source = (
+        finest.groupby("source", as_index=False)[["n", "sum_chars"]]
+        .sum()
+        .assign(lang=None)
+    )
+    per_lang = (
+        finest.groupby("lang", as_index=False)[["n", "sum_chars"]]
+        .sum()
+        .assign(source=None)
+    )
+    total = pd.DataFrame(
+        [{"source": None, "lang": None,
+          "n": finest["n"].sum(), "sum_chars": finest["sum_chars"].sum()}]
+    )
+    out = pd.concat([finest, per_source, per_lang, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out[["source", "lang", "n", "sum_chars"]]
+
+
+def pivot_counts(sf_dir: str) -> pd.DataFrame:
+    """Pivot documents to a wide per-source table with one column per
+    language (doc counts; absent combinations 0) — the reshape step of
+    reporting pipelines. Distributed shape: identical to the finest-level
+    aggregate above (one tiny shuffle); the pivot itself happens on the
+    aggregate-sized result, never on the corpus. The language column set
+    must be small and known — a wide pivot over unbounded keys belongs in
+    a (key, value) long table instead."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["source", "lang"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "lang", "n"])
+        )
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    langs = ["de", "en", "es", "fr", "zh"]  # fixed domain: stable schema
+    wide = (
+        finest.pivot_table(index="source", columns="lang", values="n",
+                           aggfunc="sum", fill_value=0)
+        .reindex(columns=langs, fill_value=0)  # absent langs still present
+        .reset_index()
+    )
+    wide.columns = ["source"] + [f"n_{c}" for c in wide.columns[1:]]
+    for c in wide.columns[1:]:
+        wide[c] = wide[c].astype("int64")
+    return wide
