@@ -832,6 +832,19 @@ def _q_graph_merge(sf_dir: str):
     )
 
 
+def _q_drop_boilerplate(sf_dir: str):
+    """C4-style boilerplate scrub over the golden near-dup corpus: drop
+    every sentence occurring in >=2 distinct docs, rejoin survivors with
+    canonical single-space whitespace; docs that were all boilerplate
+    disappear."""
+    import ray.data
+
+    from genie_ray.functions.text import drop_frequent_lines
+
+    ds = ray.data.read_parquet(_golden()["simdocs"], columns=["doc_id", "text"])
+    return drop_frequent_lines(ds, min_docs=2)
+
+
 def _q_fuzzy_match(sf_dir: str):
     """Near-miss canonicalization: deterministic one-char-deletion probes
     of every catalog surface (delete position = (ascii(first char) +
@@ -1212,6 +1225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_merge": _q_graph_merge,
         "graph_neg_sample": _q_graph_neg_sample,
         "fuzzy_match": _q_fuzzy_match,
+        "drop_boilerplate": _q_drop_boilerplate,
         # multimodal plumbing
         "media_features": _q_media_features,
         # similarity search
@@ -1779,6 +1793,18 @@ def oracle_sql() -> dict[str, str]:
         "micro_eval": micro_sql,
         "macro_eval": macro_sql,
         "bucket_eval": bucket_sql,
+        "drop_boilerplate": (
+            "WITH s AS (SELECT doc_id, string_split(regexp_replace("
+            "  text, '(\\.)(\\s)', '\\1' || chr(1), 'g'), chr(1)) AS l "
+            f"  FROM read_parquet('{paths['simdocs']}')), "
+            "e AS (SELECT doc_id, unnest(l) AS sent, "
+            "      generate_subscripts(l, 1) AS idx FROM s), "
+            "f AS (SELECT sent FROM (SELECT sent, count(DISTINCT doc_id) nd "
+            "      FROM e GROUP BY sent) WHERE nd >= 2), "
+            "kept AS (SELECT * FROM e WHERE sent NOT IN (SELECT sent FROM f)) "
+            "SELECT doc_id, string_agg(sent, ' ' ORDER BY idx) AS text "
+            "FROM kept GROUP BY doc_id"
+        ),
         "fuzzy_match": (
             "WITH cat AS (SELECT cid, surface "
             f"  FROM read_parquet('{paths['catalog_entities']}')), "

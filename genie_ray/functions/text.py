@@ -568,3 +568,119 @@ def explode_windows(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# -- corpus-frequent line/sentence removal (C4/RefinedWeb-style) -------------
+
+
+def drop_frequent_lines(
+    ds: ray.data.Dataset,
+    min_docs: int = 2,
+    num_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Remove every sentence that occurs in ≥ ``min_docs`` DISTINCT
+    documents and reassemble the survivors — the C4/RefinedWeb boilerplate
+    scrub (navigation chrome, license banners, cookie notices repeat
+    verbatim across pages; unique prose does not). Documents whose every
+    sentence is boilerplate drop out entirely.
+
+    Sentence unit = the M9 split (dot-before-whitespace, the
+    ``explode_sentences`` regex); reassembly joins survivors with a single
+    space in original order — canonical whitespace, deterministic on both
+    engines.
+
+    Scale shape: three row-local passes over the corpus plus ONE bounded
+    shuffle each for the sentence-frequency count (bucketed by sentence
+    hash; a document's sentences explode inside its own batch, so
+    batch-local ``unique(doc, sent)`` partials are exact) and the per-doc
+    reassembly (bucketed by doc hash, vectorized polars sort + group
+    join). The frequent-sentence set itself is the BOILERPLATE set —
+    bounded and tiny relative to the corpus by construction (same
+    broadcast posture as the decontamination gram set); for an adversarial
+    corpus where it outgrows broadcast, replace the ``is_in`` filter with
+    an anti semi-join on sentence hash."""
+    import polars as pl
+
+    mask = num_buckets - 1  # num_buckets must be 2^k
+
+    def explode(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select([id_col, text_col]))
+            .with_columns(
+                sent=pl.col(text_col)
+                .str.replace_all(r"(\.)(\s)", "${1}\x01")
+                .str.split("\x01")
+            )
+            .drop(text_col)
+            .with_columns(idx=pl.int_ranges(1, pl.col("sent").list.len() + 1))
+            .explode(["sent", "idx"])
+        )
+        return df.to_arrow()
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select([id_col, "sent"]))
+            .unique([id_col, "sent"])
+            .group_by("sent")
+            .len()
+        )
+        b = (df.select(["sent"]).hash_rows(seed=11).to_numpy()
+             & np.uint64(mask)).astype(np.int32)
+        out = df.to_arrow()
+        return pa.table(
+            {
+                "sent": out["sent"].cast(pa.string()),
+                "nd_p": out["len"].cast(pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def count_merge(t: pa.Table) -> pa.Table:
+        m = (
+            t.drop_columns(["bucket"])
+            .group_by("sent")
+            .aggregate([("nd_p", "sum")])
+        )
+        return m.filter(
+            pc.greater_equal(m["nd_p_sum"], min_docs)
+        ).select(["sent"])
+
+    frequent = (
+        exploded.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=max(1, num_buckets // 8))
+        .map_groups(count_merge, batch_format="pyarrow")
+        .to_pandas()["sent"]  # the boilerplate set: the small side
+    )
+    freq_arr = pa.array(frequent.to_numpy(), pa.string())
+
+    def filter_and_bucket(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(t["sent"], value_set=freq_arr))
+        k = t.filter(keep)
+        b = (pl.from_arrow(k.select([id_col])).hash_rows(seed=11).to_numpy()
+             & np.uint64(mask)).astype(np.int32)
+        return k.append_column("bucket", pa.array(b, pa.int32()))
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.drop_columns(["bucket"]))
+            .sort([id_col, "idx"])
+            .group_by(id_col, maintain_order=True)
+            .agg(**{text_col: pl.col("sent").str.join(" ")})
+        )
+        out = df.to_arrow()
+        return pa.table(
+            {
+                id_col: out[id_col].cast(pa.string()),
+                text_col: out[text_col].cast(pa.string()),
+            }
+        )
+
+    return (
+        exploded.map_batches(filter_and_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=max(1, num_buckets // 8))
+        .map_groups(reassemble, batch_format="pyarrow")
+    )
