@@ -399,7 +399,9 @@ def khop_reachable(
 
 
 def entity_cooccurrence(
-    triples_path: str, num_buckets: int = 16
+    triples_path: str,
+    num_buckets: int = 16,
+    max_ents_per_doc: int | None = None,
 ) -> ray.data.Dataset:
     """Unordered entity pairs co-mentioned in the same document, with the
     number of distinct co-mentioning documents.
@@ -442,6 +444,21 @@ def entity_cooccurrence(
             .aggregate([])  # cross-batch re-distinct within the bucket
         )
         df = pl.from_arrow(g)
+        if max_ents_per_doc is not None:
+            # skew cap: an m-entity doc emits m(m-1)/2 pairs — drop docs
+            # beyond the cap ENTIRELY (a truncated entity set would bias
+            # which pairs survive) and log how many, same observable-
+            # truncation posture as the LSH bucket caps (functions/dedup)
+            sizes = df.group_by("doc_id").len()
+            hot = sizes.filter(pl.col("len") > max_ents_per_doc)["doc_id"]
+            if len(hot):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "entity_cooccurrence: dropping %d docs over the "
+                    "max_ents_per_doc=%d cap", len(hot), max_ents_per_doc,
+                )
+                df = df.filter(~pl.col("doc_id").is_in(hot))
         pairs = (
             df.join(df, on="doc_id", suffix="_b")
             .filter(pl.col("ent") < pl.col("ent_b"))
@@ -593,6 +610,7 @@ def relation_paths2(
     triples_path: str,
     num_buckets: int = 16,
     num_partitions: int = 8,
+    max_mid_degree: int | None = None,
 ) -> ray.data.Dataset:
     """Counts of 2-hop relation path patterns: for every pair of distinct
     matched triples (s, p1, m) and (m, p2, o) chained through a middle
@@ -613,12 +631,17 @@ def relation_paths2(
         .repartition(num_partitions)
         .materialize()
     )
-    if g.count() == 0:  # no matched triples: empty result, stable schema
+    n_g = g.count()
+    if n_g == 0:  # no matched triples: empty result, stable schema
         return ray.data.from_arrow(
             pa.table({"pred_a": pa.array([], pa.string()),
                       "pred_b": pa.array([], pa.string()),
                       "n_paths": pa.array([], pa.int64())})
         )
+    # a join partition with zero rows on both sides finalizes schema-less
+    # and Arrow rejects it — never run more partitions than the data can
+    # plausibly fill (g is materialized: the count is free)
+    num_partitions = max(1, min(num_partitions, n_g // 1000 + 1))
     a = g.map_batches(
         lambda t: pa.table({"mid": t["obj_id"], "pred_a": t["pred_id"]}),
         batch_format="pyarrow",
@@ -629,6 +652,50 @@ def relation_paths2(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if max_mid_degree is not None:
+        # hub cap: a middle entity with in-degree i and out-degree o emits
+        # i·o join rows — drop mids over the cap on EITHER side (dropping
+        # one side only would keep a biased subset of its paths) and log
+        # the count, same observable-truncation posture as the LSH bucket
+        # caps. Hub degrees come from entity_degrees over the SAME triple
+        # table (one extra pass over g — never a re-consumption of the
+        # join inputs); hubs are a handful by definition, so the set is
+        # driver-collected and broadcast into the projection filters.
+        deg = entity_degrees(triples_path, num_buckets=num_buckets).to_pandas()
+        hot = deg.loc[
+            (deg["in_degree"] > max_mid_degree)
+            | (deg["out_degree"] > max_mid_degree),
+            "ent_id",
+        ]
+        if len(hot):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "relation_paths2: dropping %d hub mids over "
+                "max_mid_degree=%d", len(hot), max_mid_degree,
+            )
+            hot_arr = pa.array(hot.to_numpy(), pa.string())
+
+            # prune INSIDE the projections over the clean materialized g
+            # (a standalone filter stage after the projection maps would
+            # forward schema-less empty bundles into Arrow's hash join)
+            def project_prune(role_col, pred_name):
+                def f(t: pa.Table) -> pa.Table:
+                    p = pa.table(
+                        {"mid": t[role_col], pred_name: t["pred_id"]}
+                    )
+                    return p.filter(
+                        pc.invert(pc.is_in(p["mid"], value_set=hot_arr))
+                    )
+
+                return f
+
+            a = g.map_batches(
+                project_prune("obj_id", "pred_a"), batch_format="pyarrow"
+            )
+            b = g.map_batches(
+                project_prune("subj_id", "pred_b"), batch_format="pyarrow"
+            )
     joined = a.join(
         b,
         "inner",

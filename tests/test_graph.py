@@ -219,3 +219,40 @@ def test_graph_ops_empty_input(ray_session, tmp_path):
     assert entity_cooccurrence(path, num_buckets=8).count() == 0
     assert negative_samples(path, num_buckets=8, num_partitions=2).count() == 0
     assert relation_paths2(path, num_buckets=8, num_partitions=2).count() == 0
+
+
+def test_skew_caps(ray_session, tmp_path):
+    """The documented hot-key caps actually engage: a hub middle entity /
+    an entity-dense doc is dropped (entirely, not biased-truncated) when
+    the cap binds, and both ops are unchanged when it does not."""
+    from genie_ray.pipelines.graph import relation_paths2
+
+    # B is a hub: in-degree 2 (A->B twice via p,q), out-degree 2
+    rows = [
+        ("d1", "A", "p", "B", True),
+        ("d1", "A", "q", "B", True),
+        ("d1", "B", "p", "C", True),
+        ("d1", "B", "q", "D", True),
+        ("d2", "C", "p", "D", True),  # gives C a small mid role too
+    ]
+    path = _write_triples(tmp_path, rows)
+    free = relation_paths2(path, num_buckets=8, num_partitions=2).to_pandas()
+    capped = relation_paths2(
+        path, num_buckets=8, num_partitions=2, max_mid_degree=1
+    ).to_pandas()
+    # B (deg 2 both sides) pruned; only paths through C (in 1 / out 1) stay
+    assert free["n_paths"].sum() == 5  # 2x2 through B + 1 through C
+    assert capped["n_paths"].sum() == 1
+    # no-op cap returns the full result
+    loose = relation_paths2(
+        path, num_buckets=8, num_partitions=2, max_mid_degree=10
+    ).to_pandas()
+    assert loose["n_paths"].sum() == 5
+
+    co_free = entity_cooccurrence(path, num_buckets=8).to_pandas()
+    co_cap = entity_cooccurrence(
+        path, num_buckets=8, max_ents_per_doc=3
+    ).to_pandas()
+    # d1 mentions {A,B,C,D} (4 ents > 3: dropped); d2 mentions {C,D}
+    assert len(co_free) == 6  # C(4,2) pairs from d1; (C,D) merges with d2
+    assert co_cap.values.tolist() == [["C", "D", 1]]
