@@ -605,7 +605,14 @@ def drop_frequent_lines(
 
     mask = num_buckets - 1  # num_buckets must be 2^k
 
+    _EXPLODED = pa.schema(
+        [(id_col, pa.string()), ("sent", pa.string()), ("idx", pa.int64())]
+    )
+
     def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            # groupby stages upstream can emit schema-less empty blocks
+            return _EXPLODED.empty_table()
         df = (
             pl.from_arrow(t.select([id_col, text_col]))
             .with_columns(
@@ -622,6 +629,11 @@ def drop_frequent_lines(
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
     def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sent" not in t.column_names:
+            return pa.schema(
+                [("sent", pa.string()), ("nd_p", pa.int64()),
+                 ("bucket", pa.int32())]
+            ).empty_table()
         df = (
             pl.from_arrow(t.select([id_col, "sent"]))
             .unique([id_col, "sent"])
@@ -649,15 +661,23 @@ def drop_frequent_lines(
             pc.greater_equal(m["nd_p_sum"], min_docs)
         ).select(["sent"])
 
-    frequent = (
+    freq_df = (
         exploded.map_batches(count_partial, batch_format="pyarrow")
         .groupby("bucket", num_partitions=max(1, num_buckets // 8))
         .map_groups(count_merge, batch_format="pyarrow")
-        .to_pandas()["sent"]  # the boilerplate set: the small side
+        .to_pandas()  # the boilerplate set: the small side
     )
-    freq_arr = pa.array(frequent.to_numpy(), pa.string())
+    # an all-unique corpus yields an empty dataset with NO columns
+    freq_arr = pa.array(
+        freq_df["sent"].to_numpy() if "sent" in freq_df.columns else [],
+        pa.string(),
+    )
 
     def filter_and_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sent" not in t.column_names:
+            return _EXPLODED.empty_table().append_column(
+                "bucket", pa.array([], pa.int32())
+            )
         keep = pc.invert(pc.is_in(t["sent"], value_set=freq_arr))
         k = t.filter(keep)
         b = (pl.from_arrow(k.select([id_col])).hash_rows(seed=11).to_numpy()

@@ -64,3 +64,32 @@ def test_fuzzy_match_micro(ray_session):
         ("alpha", "E2", 1),
         ("betaa", "E3", 1),
     ]
+
+
+def _levenshtein_ref(a: str, b: str) -> int:
+    """Textbook DP reference for the property test."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_le1_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet="abcde ", max_size=12),
+        st.text(alphabet="abcde ", max_size=12),
+    )
+    def check(a, b):
+        assert edit_distance_le1(a, b) is (_levenshtein_ref(a, b) <= 1)
+
+    check()

@@ -733,3 +733,25 @@ def test_bloom_semi_join_exact_vs_python(ray_session):
         .sort_values(["k", "v"]).reset_index(drop=True)
     )
     assert out.equals(want)
+
+
+def test_drop_frequent_lines_idempotent(ray_session):
+    """Once the frequent sentences are gone, nothing left is frequent —
+    a second pass is the identity (the curation-pipeline safety property:
+    re-running the scrub cannot erode content further)."""
+    import ray.data
+
+    from genie_ray.functions.text import drop_frequent_lines
+    from genie_ray.golden import ensure_golden
+
+    ds = ray.data.read_parquet(ensure_golden()["simdocs"],
+                               columns=["doc_id", "text"])
+    once = drop_frequent_lines(ds, min_docs=2).materialize()
+    twice = drop_frequent_lines(once, min_docs=2)
+
+    def canon(d):
+        return d.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(canon(once), canon(twice))
