@@ -120,6 +120,51 @@ def cmd_results(args) -> dict:
             "macro_f1": results["macro"]["f1"]}
 
 
+def cmd_graph(args) -> dict:
+    """``graph`` mode: run the selected analytics over a triples Parquet
+    and write each result as partitioned Parquet under
+    ``<output>/<op>/`` — one file per block, so a rerun of a failed op
+    only redoes that op's directory."""
+    from .pipelines import graph as G
+
+    builders = {
+        "degrees": lambda: G.entity_degrees(
+            args.triples, num_buckets=args.num_buckets),
+        "pagerank": lambda: G.pagerank_fixed(
+            args.triples, iters=args.iters,
+            num_buckets=min(16, args.num_buckets),
+            num_partitions=args.num_partitions),
+        "khop": lambda: G.khop_reachable(
+            args.triples, k=args.k,
+            num_buckets=min(16, args.num_buckets),
+            num_partitions=args.num_partitions),
+        "cooccur": lambda: G.entity_cooccurrence(
+            args.triples, num_buckets=args.num_buckets),
+        "paths2": lambda: G.relation_paths2(
+            args.triples, num_buckets=min(16, args.num_buckets),
+            num_partitions=args.num_partitions),
+        "neg_sample": lambda: G.negative_samples(
+            args.triples, per_edge=args.per_edge,
+            num_buckets=min(16, args.num_buckets),
+            num_partitions=args.num_partitions),
+    }
+    import os
+
+    summary = {}
+    for op in [o.strip() for o in args.ops.split(",") if o.strip()]:
+        if op not in builders:
+            raise SystemExit(
+                f"unknown graph op {op!r}; choose from {sorted(builders)}"
+            )
+        out_dir = os.path.join(args.output, op)
+        ds = builders[op]()
+        ds.write_parquet(out_dir)
+        import ray.data
+
+        summary[op] = ray.data.read_parquet(out_dir).count()
+    return summary
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="genie_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -157,6 +202,25 @@ def main(argv=None) -> None:
                     help="JSONL relation set: zero-shot 'ignored' group")
     rs.add_argument("--bootstrap", type=int, default=50)
     rs.set_defaults(fn=cmd_results)
+
+    gr = sub.add_parser(
+        "graph",
+        help="analytics over a triples Parquet (the extract stage's "
+             "output): degrees, PageRank, k-hop, co-occurrence, 2-hop "
+             "paths, negative samples",
+    )
+    gr.add_argument("--triples", required=True,
+                    help="triples Parquet path/dir (canonicalized schema)")
+    gr.add_argument("--output", required=True)
+    gr.add_argument("--ops", default="degrees,pagerank,cooccur,paths2",
+                    help="comma list of: degrees pagerank khop cooccur "
+                         "paths2 neg_sample")
+    gr.add_argument("--iters", type=int, default=3)
+    gr.add_argument("--k", type=int, default=3)
+    gr.add_argument("--per-edge", type=int, default=2)
+    gr.add_argument("--num-buckets", type=int, default=64)
+    gr.add_argument("--num-partitions", type=int, default=8)
+    gr.set_defaults(fn=cmd_graph)
 
     # config-file-driven composition (the reference's Hydra surface,
     # `run.py:10-39`): every component node instantiates via `_target_`

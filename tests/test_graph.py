@@ -256,3 +256,28 @@ def test_skew_caps(ray_session, tmp_path):
     # d1 mentions {A,B,C,D} (4 ents > 3: dropped); d2 mentions {C,D}
     assert len(co_free) == 6  # C(4,2) pairs from d1; (C,D) merges with d2
     assert co_cap.values.tolist() == [["C", "D", 1]]
+
+
+def test_cli_graph_mode(ray_session, tmp_path):
+    """`python -m genie_ray.run graph` writes one partitioned-Parquet
+    directory per selected analytic over a triples table."""
+    import json
+
+    from genie_ray.run import main
+
+    path = _write_triples(tmp_path, _CHAIN)
+    out = str(tmp_path / "out")
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main([
+            "graph", "--triples", path, "--output", out,
+            "--ops", "degrees,pagerank,paths2",
+            "--num-buckets", "8", "--num-partitions", "2",
+        ])
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary == {"degrees": 3, "pagerank": 3, "paths2": 1}
+    import os
+
+    assert sorted(os.listdir(out)) == ["degrees", "pagerank", "paths2"]
