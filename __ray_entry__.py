@@ -801,6 +801,14 @@ def _q_graph_cooccur(sf_dir: str):
     return entity_cooccurrence(_golden()["triples"])
 
 
+def _q_graph_triangles(sf_dir: str):
+    """Undirected triangle count via the wedge-close double hash join;
+    oracle is the one-line canonical-edge 3-way self-join."""
+    from genie_ray.pipelines.graph import triangle_count
+
+    return triangle_count(_golden()["triples"])
+
+
 def _q_graph_merge(sf_dir: str):
     """Incremental graph ingestion: build an aggregated graph from the
     'old' half of the corpus (doc sha first hex digit < '8'), then fold
@@ -951,6 +959,15 @@ def _graph_oracle_sql(triples: str) -> dict[str, str]:
             "SELECT subj_id, pred_id, obj_id, count(*) AS support "
             f"FROM read_parquet('{triples}') WHERE matched "
             "GROUP BY subj_id, pred_id, obj_id"
+        ),
+        "graph_triangles": (
+            f"WITH d AS (SELECT src AS a, dst AS b FROM {e} "
+            "             WHERE src != dst), "
+            "u AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v "
+            "      FROM d) "
+            "SELECT count(*) AS n_triangles "
+            "FROM u e1 JOIN u e2 ON e1.u = e2.u AND e1.v < e2.v "
+            "JOIN u e3 ON e3.u = e1.v AND e3.v = e2.v"
         ),
         "graph_khop": (
             f"WITH RECURSIVE e AS {e}, "
@@ -1223,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_cooccur": _q_graph_cooccur,
         "graph_paths2": _q_graph_paths2,
         "graph_merge": _q_graph_merge,
+        "graph_triangles": _q_graph_triangles,
         "graph_neg_sample": _q_graph_neg_sample,
         "fuzzy_match": _q_fuzzy_match,
         "drop_boilerplate": _q_drop_boilerplate,

@@ -191,6 +191,11 @@ def _sf_scaled_ops(sf_dir: str) -> dict:
 
         return relation_paths2(triples_path())
 
+    def op_graph_triangles(_):
+        from genie_ray.pipelines.graph import triangle_count
+
+        return triangle_count(triples_path())
+
     def op_graph_merge(_):
         import pyarrow.compute as pc
         import ray.data
@@ -224,6 +229,7 @@ def _sf_scaled_ops(sf_dir: str) -> dict:
         "graph_neg_sample": op_graph_neg_sample,
         "graph_paths2": op_graph_paths2,
         "graph_merge": op_graph_merge,
+        "graph_triangles": op_graph_triangles,
     }
 
 
@@ -248,6 +254,7 @@ def run_query_suite(sf_dir: str) -> dict:
         "sample_filter_drop", "ignore_relinearize", "explode_windows",
         "graph_degrees", "graph_pagerank", "graph_cooccur",
         "graph_neg_sample", "graph_paths2", "graph_merge",
+        "graph_triangles",
     ]
     times = {}
     for name in names:

@@ -728,3 +728,85 @@ def relation_paths2(
         .groupby("bucket", num_partitions=max(1, num_buckets // 2))
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+
+def triangle_count(
+    triples_path: str,
+    num_buckets: int = 16,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Number of triangles in the UNDIRECTED entity graph (distinct
+    edges, directions collapsed with element-wise min/max, self-loops
+    dropped) — the classic wedge-close formulation: canonical edges
+    (u < v) self-join on the wedge apex ``u`` producing candidate pairs
+    (v1 < v2), which a second hash join closes against the edge set.
+    Output: one row, ``n_triangles`` int64.
+
+    Scale shape: two hash joins + one count; the wedge table is the
+    quadratic term (Σ apex-degree² — apexes are each edge's SMALLER
+    endpoint, the standard degree-splitting trick's cheap half). For
+    power-law graphs at corpus scale, add the full degree-ordering
+    optimization (orient every edge from lower- to higher-degree
+    endpoint before wedge generation), which bounds wedges by
+    O(edges^1.5); the canonical-id orientation here keeps the SQL oracle
+    one line and is exact on any graph."""
+    e = _edges(triples_path, num_buckets).repartition(num_partitions).materialize()
+    n_e = e.count()
+    if n_e == 0:
+        return ray.data.from_arrow(
+            pa.table({"n_triangles": pa.array([0], pa.int64())})
+        )
+
+    def undirect(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.not_equal(t["src"], t["dst"]))
+        return pa.table(
+            {
+                "u": pc.min_element_wise(keep["src"], keep["dst"]),
+                "v": pc.max_element_wise(keep["src"], keep["dst"]),
+            }
+        )
+
+    u = (
+        _distinct(e.map_batches(undirect, batch_format="pyarrow",
+                                zero_copy_batch=True), ["u", "v"], num_buckets)
+        .repartition(max(1, min(num_partitions, n_e // 1000 + 1)))
+        .materialize()
+    )
+    np_join = max(1, min(num_partitions, u.count() // 1000 + 1))
+    join_args = {
+        "num_partitions": np_join,
+        "aggregator_ray_remote_args": {"num_cpus": 0.25},
+    }
+    wedges = u.join(
+        u.map_batches(
+            lambda t: t.rename_columns(["u", "v2"]), batch_format="pyarrow"
+        ),
+        "inner",
+        on=("u",),
+        **join_args,
+    ).map_batches(
+        lambda t: pa.table(
+            {"u": t["v"], "v": t["v2"]}
+        ).filter(pc.less(t["v"], t["v2"]).combine_chunks()),
+        batch_format="pyarrow",
+    )
+    closed = wedges.join(
+        u.map_batches(
+            lambda t: t.append_column(
+                "hit", pa.array(np.ones(len(t), np.int8))
+            ),
+            batch_format="pyarrow",
+        ),
+        "inner",
+        on=("u", "v"),
+        **join_args,
+    )
+    n = closed.count()
+    return ray.data.from_arrow(
+        pa.table({"n_triangles": pa.array([n], pa.int64())})
+    )

@@ -281,3 +281,22 @@ def test_cli_graph_mode(ray_session, tmp_path):
     import os
 
     assert sorted(os.listdir(out)) == ["degrees", "pagerank", "paths2"]
+
+
+def test_triangle_count_micro(ray_session, tmp_path):
+    from genie_ray.pipelines.graph import triangle_count
+
+    # undirected triangles: {A,B,C} via A->B, B->C, A->C (direction
+    # ignored: C->A below still closes it) + an open wedge to D + a
+    # self-loop that must not count
+    rows = [
+        ("d1", "A", "p", "B", True),
+        ("d1", "B", "p", "C", True),
+        ("d1", "C", "q", "A", True),
+        ("d1", "C", "p", "D", True),
+        ("d1", "D", "p", "D", True),   # self-loop
+        ("d2", "B", "q", "A", True),   # duplicate undirected edge A-B
+    ]
+    path = _write_triples(tmp_path, rows)
+    out = triangle_count(path, num_buckets=8, num_partitions=2).to_pandas()
+    assert out["n_triangles"].tolist() == [1]
