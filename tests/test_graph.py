@@ -300,3 +300,48 @@ def test_triangle_count_micro(ray_session, tmp_path):
     path = _write_triples(tmp_path, rows)
     out = triangle_count(path, num_buckets=8, num_partitions=2).to_pandas()
     assert out["n_triangles"].tolist() == [1]
+
+
+def test_pagerank_duckdb_parity_at_scale(ray_session, tmp_path):
+    """Int64 fixed-point parity holds at 30x the golden scale (larger
+    contribution sums, skewed degrees): distributed 3-iter PageRank over
+    20k synthetic triples is value-identical to the unrolled DuckDB CTE
+    recurrence."""
+    import duckdb
+
+    from genie_ray.fixtures import write_triples_parquet
+    from genie_ray.pipelines.graph import pagerank_fixed
+
+    path = os.path.join(str(tmp_path), "t20k.parquet")
+    write_triples_parquet(path, n_triples=20_000, n_entities=2_000,
+                          n_docs=4_000)
+    got = (
+        pagerank_fixed(path, iters=3)
+        .to_pandas()
+        .sort_values("ent_id")
+        .reset_index(drop=True)
+    )
+    e = ("(SELECT DISTINCT subj_id AS src, obj_id AS dst FROM "
+         f"(SELECT DISTINCT subj_id, pred_id, obj_id FROM "
+         f"read_parquet('{path}') WHERE matched))")
+    sql = (
+        f"WITH e AS {e}, "
+        "nodes AS (SELECT src AS ent FROM e UNION SELECT dst FROM e), "
+        "od AS (SELECT src AS ent, count(*) AS od FROM e GROUP BY 1), "
+        "p AS (SELECT 1000000000000 // count(*) AS r0 FROM nodes), "
+        "r0 AS (SELECT ent, (SELECT r0 FROM p) AS rank FROM nodes)"
+    )
+    for k in range(1, 4):
+        sql += (
+            f", r{k} AS (SELECT n.ent, (15 * (SELECT r0 FROM p)) // 100 "
+            "+ (85 * coalesce(x.s, 0)) // 100 AS rank "
+            "FROM nodes n LEFT JOIN ("
+            "SELECT e.dst AS ent, sum(r.rank // o.od) AS s "
+            f"FROM e JOIN r{k-1} r ON e.src = r.ent "
+            "JOIN od o ON e.src = o.ent GROUP BY e.dst) x ON n.ent = x.ent)"
+        )
+    sql += " SELECT ent AS ent_id, rank::BIGINT AS rank FROM r3 ORDER BY ent"
+    want = duckdb.sql(sql).df().reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
