@@ -809,6 +809,15 @@ def _q_graph_triangles(sf_dir: str):
     return triangle_count(_golden()["triples"])
 
 
+def _q_graph_clustering(sf_dir: str):
+    """Per-entity triangle + wedge counts (the local clustering
+    coefficient's integer parts) — apex-retaining wedge-close joins plus
+    a degrees-style role-union merge; everything int64 = hash-exact."""
+    from genie_ray.pipelines.graph import clustering_counts
+
+    return clustering_counts(_golden()["triples"])
+
+
 def _q_graph_merge(sf_dir: str):
     """Incremental graph ingestion: build an aggregated graph from the
     'old' half of the corpus (doc sha first hex digit < '8'), then fold
@@ -968,6 +977,24 @@ def _graph_oracle_sql(triples: str) -> dict[str, str]:
             "SELECT count(*) AS n_triangles "
             "FROM u e1 JOIN u e2 ON e1.u = e2.u AND e1.v < e2.v "
             "JOIN u e3 ON e3.u = e1.v AND e3.v = e2.v"
+        ),
+        "graph_clustering": (
+            f"WITH d AS (SELECT src AS a, dst AS b FROM {e} "
+            "             WHERE src != dst), "
+            "u AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v "
+            "      FROM d), "
+            "tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z "
+            "        FROM u e1 JOIN u e2 ON e1.u = e2.u AND e1.v < e2.v "
+            "        JOIN u e3 ON e3.u = e1.v AND e3.v = e2.v), "
+            "pern AS (SELECT x AS ent FROM tri UNION ALL "
+            "         SELECT y FROM tri UNION ALL SELECT z FROM tri), "
+            "tcnt AS (SELECT ent, count(*) AS n_tri FROM pern GROUP BY ent), "
+            "deg AS (SELECT ent, count(*) AS deg FROM "
+            "        (SELECT u AS ent FROM u UNION ALL SELECT v FROM u) "
+            "        GROUP BY ent) "
+            "SELECT deg.ent AS ent_id, coalesce(n_tri, 0)::BIGINT AS n_tri, "
+            "(deg * (deg - 1) // 2)::BIGINT AS n_wedges "
+            "FROM deg LEFT JOIN tcnt ON deg.ent = tcnt.ent"
         ),
         "graph_khop": (
             f"WITH RECURSIVE e AS {e}, "
@@ -1241,6 +1268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_paths2": _q_graph_paths2,
         "graph_merge": _q_graph_merge,
         "graph_triangles": _q_graph_triangles,
+        "graph_clustering": _q_graph_clustering,
         "graph_neg_sample": _q_graph_neg_sample,
         "fuzzy_match": _q_fuzzy_match,
         "drop_boilerplate": _q_drop_boilerplate,

@@ -730,6 +730,36 @@ def relation_paths2(
     )
 
 
+
+
+def _undirected_edges(
+    triples_path: str, num_buckets: int, num_partitions: int
+):
+    """Canonical (u < v) undirected distinct edges — self-loops dropped,
+    directions collapsed with element-wise min/max. Returns a
+    materialized Dataset, or None for an empty graph."""
+    e = _edges(triples_path, num_buckets).repartition(num_partitions).materialize()
+    n_e = e.count()
+    if n_e == 0:
+        return None
+
+    def undirect(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.not_equal(t["src"], t["dst"]))
+        return pa.table(
+            {
+                "u": pc.min_element_wise(keep["src"], keep["dst"]),
+                "v": pc.max_element_wise(keep["src"], keep["dst"]),
+            }
+        )
+
+    return (
+        _distinct(e.map_batches(undirect, batch_format="pyarrow",
+                                zero_copy_batch=True), ["u", "v"], num_buckets)
+        .repartition(max(1, min(num_partitions, n_e // 1000 + 1)))
+        .materialize()
+    )
+
+
 # ---------------------------------------------------------------------------
 # triangle counting
 # ---------------------------------------------------------------------------
@@ -755,28 +785,11 @@ def triangle_count(
     endpoint before wedge generation), which bounds wedges by
     O(edges^1.5); the canonical-id orientation here keeps the SQL oracle
     one line and is exact on any graph."""
-    e = _edges(triples_path, num_buckets).repartition(num_partitions).materialize()
-    n_e = e.count()
-    if n_e == 0:
+    u = _undirected_edges(triples_path, num_buckets, num_partitions)
+    if u is None:
         return ray.data.from_arrow(
             pa.table({"n_triangles": pa.array([0], pa.int64())})
         )
-
-    def undirect(t: pa.Table) -> pa.Table:
-        keep = t.filter(pc.not_equal(t["src"], t["dst"]))
-        return pa.table(
-            {
-                "u": pc.min_element_wise(keep["src"], keep["dst"]),
-                "v": pc.max_element_wise(keep["src"], keep["dst"]),
-            }
-        )
-
-    u = (
-        _distinct(e.map_batches(undirect, batch_format="pyarrow",
-                                zero_copy_batch=True), ["u", "v"], num_buckets)
-        .repartition(max(1, min(num_partitions, n_e // 1000 + 1)))
-        .materialize()
-    )
     np_join = max(1, min(num_partitions, u.count() // 1000 + 1))
     join_args = {
         "num_partitions": np_join,
@@ -809,4 +822,126 @@ def triangle_count(
     n = closed.count()
     return ray.data.from_arrow(
         pa.table({"n_triangles": pa.array([n], pa.int64())})
+    )
+
+
+def clustering_counts(
+    triples_path: str,
+    num_buckets: int = 16,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Per-entity triangle and wedge counts over the undirected graph —
+    the integer numerators/denominators of the local clustering
+    coefficient (2·n_tri / (deg·(deg−1))); counts stay int64 so the
+    result is hash-exact (the float ratio is one vectorized division away
+    for the consumer). Output: (ent_id, n_tri, n_wedges).
+
+    Same wedge-close joins as :func:`triangle_count`, with the wedge APEX
+    retained so each closed triangle attributes to all three vertices
+    (each triangle x<y<z is discovered exactly once, apex = x, because
+    canonical edges orient from the smaller endpoint); wedge counts come
+    from the undirected degree (deg·(deg−1)/2 — exact integer since one
+    of two consecutive ints is even). One role-union + bucketed groupby
+    merges the two partial families, degrees-style."""
+    u = _undirected_edges(triples_path, num_buckets, num_partitions)
+    if u is None:
+        return ray.data.from_arrow(
+            pa.table({"ent_id": pa.array([], pa.string()),
+                      "n_tri": pa.array([], pa.int64()),
+                      "n_wedges": pa.array([], pa.int64())})
+        )
+    np_join = max(1, min(num_partitions, u.count() // 1000 + 1))
+    join_args = {
+        "num_partitions": np_join,
+        "aggregator_ray_remote_args": {"num_cpus": 0.25},
+    }
+    wedges = u.join(
+        u.map_batches(
+            lambda t: t.rename_columns(["u", "v2"]), batch_format="pyarrow"
+        ),
+        "inner",
+        on=("u",),
+        **join_args,
+    ).map_batches(
+        lambda t: pa.table(
+            {"apex": t["u"], "u": t["v"], "v": t["v2"]}
+        ).filter(pc.less(t["v"], t["v2"]).combine_chunks()),
+        batch_format="pyarrow",
+    )
+    closed = wedges.join(
+        u, "inner", on=("u", "v"), **join_args
+    )
+    mask = num_buckets - 1
+
+    def tri_partial(t: pa.Table) -> pa.Table:
+        ent = pa.chunked_array(
+            list(t["apex"].chunks) + list(t["u"].chunks) + list(t["v"].chunks),
+            type=pa.string(),
+        )
+        p = (
+            pa.table({"ent_id": ent})
+            .group_by("ent_id")
+            .aggregate([("ent_id", "count")])
+        )
+        out = pa.table(
+            {
+                "ent_id": p["ent_id"],
+                "tri_p": p["ent_id_count"],
+                "wedge_p": pa.array(np.zeros(len(p), np.int64)),
+            }
+        )
+        return out.append_column("bucket", _row_bucket(out, ["ent_id"], mask))
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ent = pa.chunked_array(
+            list(t["u"].chunks) + list(t["v"].chunks), type=pa.string()
+        )
+        p = (
+            pa.table({"ent_id": ent})
+            .group_by("ent_id")
+            .aggregate([("ent_id", "count")])
+            .rename_columns(["ent_id", "deg_p"])
+        )
+        return p.append_column("bucket", _row_bucket(p, ["ent_id"], mask))
+
+    # degrees need their own exact merge BEFORE the wedge formula
+    deg = (
+        u.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket", num_partitions=max(1, num_buckets // 2))
+        .map_groups(
+            lambda t: t.drop_columns(["bucket"]).group_by("ent_id")
+            .aggregate([("deg_p", "sum")]),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: (lambda d: pa.table(
+                {
+                    "ent_id": t["ent_id"],
+                    "tri_p": pa.array(np.zeros(len(t), np.int64)),
+                    "wedge_p": pa.array(d * (d - 1) // 2, pa.int64()),
+                }
+            ))(t["deg_p_sum"].combine_chunks().to_numpy(zero_copy_only=False)),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: t.append_column(
+                "bucket", _row_bucket(t, ["ent_id"], mask)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    tri = closed.map_batches(tri_partial, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        return (
+            t.drop_columns(["bucket"])
+            .group_by("ent_id")
+            .aggregate([("tri_p", "sum"), ("wedge_p", "sum")])
+            .rename_columns(["ent_id", "n_tri", "n_wedges"])
+        )
+
+    return (
+        tri.union(deg)
+        .groupby("bucket", num_partitions=max(1, num_buckets // 2))
+        .map_groups(merge, batch_format="pyarrow")
     )

@@ -345,3 +345,26 @@ def test_pagerank_duckdb_parity_at_scale(ray_session, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_clustering_counts_micro(ray_session, tmp_path):
+    from genie_ray.pipelines.graph import clustering_counts
+
+    # triangle {A,B,C} + pendant D off C
+    rows = [
+        ("d1", "A", "p", "B", True),
+        ("d1", "B", "p", "C", True),
+        ("d1", "C", "q", "A", True),
+        ("d1", "C", "p", "D", True),
+    ]
+    path = _write_triples(tmp_path, rows)
+    got = (
+        clustering_counts(path, num_buckets=8, num_partitions=2)
+        .to_pandas()
+        .set_index("ent_id")
+        .sort_index()
+    )
+    # degrees: A=2, B=2, C=3, D=1; wedges = deg*(deg-1)/2
+    assert got["n_wedges"].to_dict() == {"A": 1, "B": 1, "C": 3, "D": 0}
+    # the one triangle touches A, B, C
+    assert got["n_tri"].to_dict() == {"A": 1, "B": 1, "C": 1, "D": 0}
