@@ -147,6 +147,12 @@ def cmd_graph(args) -> dict:
             args.triples, per_edge=args.per_edge,
             num_buckets=min(16, args.num_buckets),
             num_partitions=args.num_partitions),
+        "triangles": lambda: G.triangle_count(
+            args.triples, num_buckets=min(16, args.num_buckets),
+            num_partitions=args.num_partitions),
+        "clustering": lambda: G.clustering_counts(
+            args.triples, num_buckets=min(16, args.num_buckets),
+            num_partitions=args.num_partitions),
     }
     import os
 
@@ -214,7 +220,7 @@ def main(argv=None) -> None:
     gr.add_argument("--output", required=True)
     gr.add_argument("--ops", default="degrees,pagerank,cooccur,paths2",
                     help="comma list of: degrees pagerank khop cooccur "
-                         "paths2 neg_sample")
+                         "paths2 neg_sample triangles clustering")
     gr.add_argument("--iters", type=int, default=3)
     gr.add_argument("--k", type=int, default=3)
     gr.add_argument("--per-edge", type=int, default=2)
