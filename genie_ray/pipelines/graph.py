@@ -89,12 +89,17 @@ def _matched_triples(
     ).repartition(num_partitions)
 
 
-def _edges(triples_path: str, num_buckets: int = 16) -> ray.data.Dataset:
+def _edges(
+    triples_path: str, num_buckets: int = 16, num_partitions: int = 8
+) -> ray.data.Dataset:
     """Distinct (src, dst) entity pairs — the graph's adjacency list
     (parallel edges across relations collapse; self-loops stay). Goes
     straight from matched triples to the pair distinct: a triple-level
-    dedup first would be subsumed by it (one full sort saved)."""
-    e = _matched_triples(triples_path).map_batches(
+    dedup first would be subsumed by it (one full sort saved).
+    ``num_partitions`` is threaded from the public operators so the
+    read-side coalesce scales with input size (callers raise both knobs
+    together at corpus scale)."""
+    e = _matched_triples(triples_path, num_partitions).map_batches(
         lambda t: pa.table({"src": t["subj_id"], "dst": t["obj_id"]}),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -117,7 +122,9 @@ def _both_roles(ds: ray.data.Dataset, cols=("src", "dst")) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def entity_degrees(triples_path: str, num_buckets: int = 16) -> ray.data.Dataset:
+def entity_degrees(
+    triples_path: str, num_buckets: int = 16, num_partitions: int = 8
+) -> ray.data.Dataset:
     """Per-entity in/out/total degree over the distinct-triple graph.
 
     One pass over the deduped edges emits (ent, out_partial, in_partial)
@@ -125,7 +132,9 @@ def entity_degrees(triples_path: str, num_buckets: int = 16) -> ray.data.Dataset
     each bucket merges with one Arrow ``group_by`` — a full-outer-join
     of the two role counts falls out of the union representation for
     free (an entity appearing only as object simply has no out rows)."""
-    g = _distinct(_matched_triples(triples_path), _TRIPLE, num_buckets)
+    g = _distinct(
+        _matched_triples(triples_path, num_partitions), _TRIPLE, num_buckets
+    )
     mask = num_buckets - 1
 
     def partial(t: pa.Table) -> pa.Table:
@@ -191,7 +200,11 @@ def pagerank_fixed(
     groupby-sum keyed by dst; ranks (node-scale, ≪ edges) materialize per
     round. O(iters) rounds, no driver-side state beyond the node count.
     """
-    e = _edges(triples_path, num_buckets).repartition(num_partitions).materialize()
+    e = (
+        _edges(triples_path, num_buckets, num_partitions)
+        .repartition(num_partitions)
+        .materialize()
+    )
     nodes = _distinct(_both_roles(e), ["ent"], num_buckets).materialize()
     n = nodes.count()
     if n == 0:  # no matched edges: empty ranking, stable schema
@@ -329,7 +342,11 @@ def khop_reachable(
     groupby-MIN — one join + one bounded shuffle per round, labels
     (node-scale) materialized per round, same shape as
     ``duplicate_clusters`` (`functions/dedup.py`)."""
-    e = _edges(triples_path, num_buckets).repartition(num_partitions).materialize()
+    e = (
+        _edges(triples_path, num_buckets, num_partitions)
+        .repartition(num_partitions)
+        .materialize()
+    )
     if e.count() == 0:  # no matched edges: empty result, stable schema
         return ray.data.from_arrow(
             pa.table({"ent_id": pa.array([], pa.string()),
@@ -524,7 +541,9 @@ def negative_samples(
     sidx/oidx would come from two hash joins against an indexed entity
     table instead (the ``canonicalize_via_join`` path)."""
     g = (
-        _distinct(_matched_triples(triples_path), _TRIPLE, num_buckets)
+        _distinct(
+            _matched_triples(triples_path, num_partitions), _TRIPLE, num_buckets
+        )
         .repartition(num_partitions)
         .materialize()
     )
@@ -738,7 +757,11 @@ def _undirected_edges(
     """Canonical (u < v) undirected distinct edges — self-loops dropped,
     directions collapsed with element-wise min/max. Returns a
     materialized Dataset, or None for an empty graph."""
-    e = _edges(triples_path, num_buckets).repartition(num_partitions).materialize()
+    e = (
+        _edges(triples_path, num_buckets, num_partitions)
+        .repartition(num_partitions)
+        .materialize()
+    )
     n_e = e.count()
     if n_e == 0:
         return None
@@ -765,6 +788,234 @@ def _undirected_edges(
 # ---------------------------------------------------------------------------
 
 
+
+
+def _degrees_over(u: ray.data.Dataset, num_buckets: int) -> ray.data.Dataset:
+    """(ent, deg) undirected degree over canonical distinct edges ``u`` —
+    the bucketed two-phase count (per-batch Arrow combine, one 2^k-bucket
+    shuffle, per-bucket merge)."""
+    mask = num_buckets - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        ent = pa.chunked_array(
+            list(t["u"].chunks) + list(t["v"].chunks), type=pa.string()
+        )
+        p = (
+            pa.table({"ent": ent})
+            .group_by("ent")
+            .aggregate([("ent", "count")])
+            .rename_columns(["ent", "deg_p"])
+        )
+        return p.append_column("bucket", _row_bucket(p, ["ent"], mask))
+
+    def merge(t: pa.Table) -> pa.Table:
+        return (
+            t.drop_columns(["bucket"])
+            .group_by("ent")
+            .aggregate([("deg_p", "sum")])
+            .rename_columns(["ent", "deg"])
+        )
+
+    return (
+        u.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket", num_partitions=max(1, num_buckets // 2))
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def _closed_triangles(
+    triples_path: str, num_buckets: int, num_partitions: int
+):
+    """Shared core of :func:`triangle_count` / :func:`clustering_counts`:
+    the set of triangles in the undirected entity graph, one row each,
+    found by DEGREE-ORDERED wedge closing (compact-forward / Latapy 2008;
+    cf. Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11 — public algorithms literature).
+
+    Every undirected edge is oriented from its lower- to higher-RANK
+    endpoint, rank = (degree, ent id) — a total order because ids are
+    unique. Wedges are generated only from a vertex's higher-rank
+    out-neighborhood, so out-deg ≤ O(√E) on ANY graph (a hub of degree d
+    has at most ~√E neighbors of even-higher rank): the wedge table is
+    bounded by O(E^1.5) instead of Σ deg(apex)² — the difference between
+    hours and an explosion on a power-law KG where the round-3
+    canonical-id orientation could hand a low-id hub its full deg².
+
+    Each triangle {x,y,z} with rank(x)<rank(y)<rank(z) is produced
+    exactly once: oriented edges are x→y, x→z, y→z, so the only wedge is
+    (apex=x, y, z) and it closes against oriented edge y→z.
+
+    Execution shape: NO JoinOperators — every co-location (degree
+    attach ×2, wedge self-join, wedge-edge closing) is the repo's
+    bucketed-groupby hash join (bucket both sides by key hash, one
+    polars join per bucket), which at 200k edges runs ~2s per exchange
+    where a JoinOperator pays ~2s in per-partition fixed cost alone
+    (measured note at bench.py graph sizing). Five bounded exchanges
+    total, all keyed by entity / pair hash.
+
+    Returns ``(u, deg, closed)``: the canonical undirected edge Dataset,
+    the (ent, deg) Dataset, and the closed-triangle Dataset with columns
+    (apex, a, b) = the min-rank / mid-rank / max-rank vertices — or
+    ``(None, None, None)`` on an empty graph.
+    """
+    import polars as pl
+
+    u = _undirected_edges(triples_path, num_buckets, num_partitions)
+    if u is None:
+        return None, None, None
+    mask = num_buckets - 1
+    nparts = max(1, num_buckets // 2)
+    deg = _degrees_over(u, num_buckets).materialize()
+
+    def attach(edges, key_col, payload, deg_name):
+        """Bucketed hash join: edges gain column ``deg_name`` = degree of
+        endpoint ``key_col``. ``payload`` maps the OTHER columns to their
+        Arrow types (for typed nulls on the degree-side union rows)."""
+
+        def edge_rows(t: pa.Table) -> pa.Table:
+            cols = {"key": t[key_col]}
+            for c in payload:
+                cols[c] = t[c]
+            cols[deg_name] = pa.nulls(len(t), pa.int64())
+            out = pa.table(cols)
+            return out.append_column("bucket", _row_bucket(out, ["key"], mask))
+
+        def deg_rows(t: pa.Table) -> pa.Table:
+            cols = {"key": t["ent"]}
+            for c, typ in payload.items():
+                cols[c] = pa.nulls(len(t), typ)
+            cols[deg_name] = t["deg"]
+            out = pa.table(cols)
+            return out.append_column("bucket", _row_bucket(out, ["key"], mask))
+
+        def merge(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {key_col: pa.array([], pa.string()),
+                     **{c: pa.array([], typ) for c, typ in payload.items()},
+                     deg_name: pa.array([], pa.int64())}
+                )
+            df = pl.from_arrow(t.drop_columns(["bucket"]))
+            e = df.filter(pl.col(deg_name).is_null()).drop(deg_name)
+            d = df.filter(pl.col(deg_name).is_not_null()).select(
+                ["key", deg_name]
+            )
+            j = e.join(d, on="key", how="inner").rename({"key": key_col})
+            out = j.to_arrow()
+            return pa.table(
+                {key_col: out[key_col].cast(pa.string()),
+                 **{c: out[c].cast(typ) for c, typ in payload.items()},
+                 deg_name: out[deg_name].cast(pa.int64())}
+            )
+
+        both = edges.map_batches(
+            edge_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            deg.map_batches(
+                deg_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        return both.groupby("bucket", num_partitions=nparts).map_groups(
+            merge, batch_format="pyarrow"
+        )
+
+    e_du = attach(u, "u", {"v": pa.string()}, "deg_u")
+    e_dd = attach(
+        e_du, "v", {"u": pa.string(), "deg_u": pa.int64()}, "deg_v"
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "deg_b": pa.array([], pa.int64())})
+        lo_first = pc.or_(
+            pc.less(t["deg_u"], t["deg_v"]),
+            pc.and_(
+                pc.equal(t["deg_u"], t["deg_v"]), pc.less(t["u"], t["v"])
+            ),
+        )
+        out = pa.table(
+            {
+                "a": pc.if_else(lo_first, t["u"], t["v"]),
+                "b": pc.if_else(lo_first, t["v"], t["u"]),
+                "deg_b": pc.if_else(lo_first, t["deg_v"], t["deg_u"]),
+            }
+        )
+        return out.append_column("bucket", _row_bucket(out, ["a"], mask))
+
+    oriented = e_dd.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    _WEDGE_EMPTY = pa.table(
+        {"apex": pa.array([], pa.string()), "a": pa.array([], pa.string()),
+         "b": pa.array([], pa.string()), "bucket2": pa.array([], pa.int32())}
+    )
+
+    def wedges_in_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _WEDGE_EMPTY
+        df = pl.from_arrow(t.drop_columns(["bucket"]))
+        w = df.join(df, on="a", suffix="_2").filter(
+            (pl.col("deg_b") < pl.col("deg_b_2"))
+            | ((pl.col("deg_b") == pl.col("deg_b_2"))
+               & (pl.col("b") < pl.col("b_2")))
+        )
+        out = w.to_arrow()
+        out = pa.table(
+            {"apex": out["a"].cast(pa.string()),
+             "a": out["b"].cast(pa.string()),
+             "b": out["b_2"].cast(pa.string())}
+        )
+        return out.append_column(
+            "bucket2", _row_bucket(out, ["a", "b"], mask)
+        )
+
+    wedges = oriented.groupby("bucket", num_partitions=nparts).map_groups(
+        wedges_in_bucket, batch_format="pyarrow"
+    )
+
+    def edge_markers(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _WEDGE_EMPTY
+        out = pa.table(
+            {"apex": pa.nulls(len(t), pa.string()),
+             "a": t["a"], "b": t["b"]}
+        )
+        return out.append_column(
+            "bucket2", _row_bucket(out, ["a", "b"], mask)
+        )
+
+    def close_in_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"apex": pa.array([], pa.string()),
+                 "a": pa.array([], pa.string()),
+                 "b": pa.array([], pa.string())}
+            )
+        df = pl.from_arrow(t.drop_columns(["bucket2"]))
+        w = df.filter(pl.col("apex").is_not_null())
+        e = df.filter(pl.col("apex").is_null()).select(["a", "b"])
+        out = w.join(e, on=["a", "b"], how="semi").to_arrow()
+        return pa.table(
+            {"apex": out["apex"].cast(pa.string()),
+             "a": out["a"].cast(pa.string()),
+             "b": out["b"].cast(pa.string())}
+        )
+
+    closed = (
+        wedges.union(
+            oriented.map_batches(
+                edge_markers, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("bucket2", num_partitions=nparts)
+        .map_groups(close_in_bucket, batch_format="pyarrow")
+    )
+    return u, deg, closed
+
+
 def triangle_count(
     triples_path: str,
     num_buckets: int = 16,
@@ -772,53 +1023,17 @@ def triangle_count(
 ) -> ray.data.Dataset:
     """Number of triangles in the UNDIRECTED entity graph (distinct
     edges, directions collapsed with element-wise min/max, self-loops
-    dropped) — the classic wedge-close formulation: canonical edges
-    (u < v) self-join on the wedge apex ``u`` producing candidate pairs
-    (v1 < v2), which a second hash join closes against the edge set.
-    Output: one row, ``n_triangles`` int64.
+    dropped). Output: one row, ``n_triangles`` int64.
 
-    Scale shape: two hash joins + one count; the wedge table is the
-    quadratic term (Σ apex-degree² — apexes are each edge's SMALLER
-    endpoint, the standard degree-splitting trick's cheap half). For
-    power-law graphs at corpus scale, add the full degree-ordering
-    optimization (orient every edge from lower- to higher-degree
-    endpoint before wedge generation), which bounds wedges by
-    O(edges^1.5); the canonical-id orientation here keeps the SQL oracle
-    one line and is exact on any graph."""
-    u = _undirected_edges(triples_path, num_buckets, num_partitions)
-    if u is None:
+    Degree-ordered wedge closing (see :func:`_closed_triangles`): two
+    vertex-scale degree joins + two edge-scale hash joins + one count,
+    with the wedge table bounded at O(E^1.5) on any degree distribution.
+    """
+    _, _, closed = _closed_triangles(triples_path, num_buckets, num_partitions)
+    if closed is None:
         return ray.data.from_arrow(
             pa.table({"n_triangles": pa.array([0], pa.int64())})
         )
-    np_join = max(1, min(num_partitions, u.count() // 1000 + 1))
-    join_args = {
-        "num_partitions": np_join,
-        "aggregator_ray_remote_args": {"num_cpus": 0.25},
-    }
-    wedges = u.join(
-        u.map_batches(
-            lambda t: t.rename_columns(["u", "v2"]), batch_format="pyarrow"
-        ),
-        "inner",
-        on=("u",),
-        **join_args,
-    ).map_batches(
-        lambda t: pa.table(
-            {"u": t["v"], "v": t["v2"]}
-        ).filter(pc.less(t["v"], t["v2"]).combine_chunks()),
-        batch_format="pyarrow",
-    )
-    closed = wedges.join(
-        u.map_batches(
-            lambda t: t.append_column(
-                "hit", pa.array(np.ones(len(t), np.int8))
-            ),
-            batch_format="pyarrow",
-        ),
-        "inner",
-        on=("u", "v"),
-        **join_args,
-    )
     n = closed.count()
     return ray.data.from_arrow(
         pa.table({"n_triangles": pa.array([n], pa.int64())})
@@ -836,46 +1051,36 @@ def clustering_counts(
     result is hash-exact (the float ratio is one vectorized division away
     for the consumer). Output: (ent_id, n_tri, n_wedges).
 
-    Same wedge-close joins as :func:`triangle_count`, with the wedge APEX
-    retained so each closed triangle attributes to all three vertices
-    (each triangle x<y<z is discovered exactly once, apex = x, because
-    canonical edges orient from the smaller endpoint); wedge counts come
-    from the undirected degree (deg·(deg−1)/2 — exact integer since one
-    of two consecutive ints is even). One role-union + bucketed groupby
-    merges the two partial families, degrees-style."""
-    u = _undirected_edges(triples_path, num_buckets, num_partitions)
-    if u is None:
+    Triangles come from the degree-ordered closing in
+    :func:`_closed_triangles` (each discovered exactly once, apex =
+    min-RANK vertex) and attribute to all three corners; wedge
+    denominators are deg·(deg−1)/2 from the shared degree table — exact
+    integer since one of two consecutive ints is even. One role-union +
+    bucketed groupby merges the two partial families, degrees-style."""
+    u, deg, closed = _closed_triangles(
+        triples_path, num_buckets, num_partitions
+    )
+    if closed is None:
         return ray.data.from_arrow(
             pa.table({"ent_id": pa.array([], pa.string()),
                       "n_tri": pa.array([], pa.int64()),
                       "n_wedges": pa.array([], pa.int64())})
         )
-    np_join = max(1, min(num_partitions, u.count() // 1000 + 1))
-    join_args = {
-        "num_partitions": np_join,
-        "aggregator_ray_remote_args": {"num_cpus": 0.25},
-    }
-    wedges = u.join(
-        u.map_batches(
-            lambda t: t.rename_columns(["u", "v2"]), batch_format="pyarrow"
-        ),
-        "inner",
-        on=("u",),
-        **join_args,
-    ).map_batches(
-        lambda t: pa.table(
-            {"apex": t["u"], "u": t["v"], "v": t["v2"]}
-        ).filter(pc.less(t["v"], t["v2"]).combine_chunks()),
-        batch_format="pyarrow",
-    )
-    closed = wedges.join(
-        u, "inner", on=("u", "v"), **join_args
-    )
     mask = num_buckets - 1
+    _empty_partial = pa.table(
+        {
+            "ent_id": pa.array([], pa.string()),
+            "tri_p": pa.array([], pa.int64()),
+            "wedge_p": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int32()),
+        }
+    )
 
     def tri_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:  # joins emit schema-less empty blocks
+            return _empty_partial
         ent = pa.chunked_array(
-            list(t["apex"].chunks) + list(t["u"].chunks) + list(t["v"].chunks),
+            list(t["apex"].chunks) + list(t["a"].chunks) + list(t["b"].chunks),
             type=pa.string(),
         )
         p = (
@@ -892,45 +1097,19 @@ def clustering_counts(
         )
         return out.append_column("bucket", _row_bucket(out, ["ent_id"], mask))
 
-    def deg_partial(t: pa.Table) -> pa.Table:
-        ent = pa.chunked_array(
-            list(t["u"].chunks) + list(t["v"].chunks), type=pa.string()
+    def deg_wedges(t: pa.Table) -> pa.Table:
+        d = t["deg"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "ent_id": t["ent"],
+                "tri_p": pa.array(np.zeros(len(t), np.int64)),
+                "wedge_p": pa.array(d * (d - 1) // 2, pa.int64()),
+            }
         )
-        p = (
-            pa.table({"ent_id": ent})
-            .group_by("ent_id")
-            .aggregate([("ent_id", "count")])
-            .rename_columns(["ent_id", "deg_p"])
-        )
-        return p.append_column("bucket", _row_bucket(p, ["ent_id"], mask))
+        return out.append_column("bucket", _row_bucket(out, ["ent_id"], mask))
 
-    # degrees need their own exact merge BEFORE the wedge formula
-    deg = (
-        u.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket", num_partitions=max(1, num_buckets // 2))
-        .map_groups(
-            lambda t: t.drop_columns(["bucket"]).group_by("ent_id")
-            .aggregate([("deg_p", "sum")]),
-            batch_format="pyarrow",
-        )
-        .map_batches(
-            lambda t: (lambda d: pa.table(
-                {
-                    "ent_id": t["ent_id"],
-                    "tri_p": pa.array(np.zeros(len(t), np.int64)),
-                    "wedge_p": pa.array(d * (d - 1) // 2, pa.int64()),
-                }
-            ))(t["deg_p_sum"].combine_chunks().to_numpy(zero_copy_only=False)),
-            batch_format="pyarrow",
-        )
-        .map_batches(
-            lambda t: t.append_column(
-                "bucket", _row_bucket(t, ["ent_id"], mask)
-            ),
-            batch_format="pyarrow",
-        )
-    )
     tri = closed.map_batches(tri_partial, batch_format="pyarrow")
+    wed = deg.map_batches(deg_wedges, batch_format="pyarrow")
 
     def merge(t: pa.Table) -> pa.Table:
         return (
@@ -941,7 +1120,8 @@ def clustering_counts(
         )
 
     return (
-        tri.union(deg)
+        tri.union(wed)
         .groupby("bucket", num_partitions=max(1, num_buckets // 2))
         .map_groups(merge, batch_format="pyarrow")
     )
+

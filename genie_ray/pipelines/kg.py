@@ -34,7 +34,11 @@ import ray.data
 
 from ..sources.documents import prepare_documents, read_documents
 from ..stages.canonicalize import canonicalize_batch
-from ..stages.dedup import merge_triple_partials_vec, partial_triple_agg_vec
+from ..stages.dedup import (
+    bucket_hash_probe,
+    merge_triple_partials_vec,
+    partial_triple_agg_vec,
+)
 from ..stages.extract import ExtractTriples, extract_triples_task
 from ..stages.parse import parse_predictions_batch
 from ..state import lineage
@@ -245,8 +249,10 @@ def build_graph(
         # v2 = vectorized polars row-hash buckets (stages/dedup.py
         # *_vec): buckets written under the old per-row sha1 scheme hold
         # different triples, so resuming across the scheme change must
-        # invalidate them
-        "bucket_scheme": "polars-v2",
+        # invalidate them. The sentinel-probe suffix additionally
+        # invalidates if a polars upgrade changes hash_rows output
+        # (buckets from two hash versions must never mix).
+        "bucket_scheme": f"polars-v2-{bucket_hash_probe()}",
     }
     done = (
         lineage.validated_finished_partitions(

@@ -207,38 +207,77 @@ def anti_join_unique(sf_dir: str, num_buckets: int = 32) -> ray.data.Dataset:
     return parts.groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 
-def session_windows(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+def session_windows(
+    sf_dir: str, gap_minutes: int = 30, num_buckets: int = 32
+) -> ray.data.Dataset:
     """Gap-based sessionization of the event log: a user's events belong
     to one session while consecutive gaps stay under ``gap_minutes``.
-    Ray Data expression: hash-partition by user (``groupby.map_groups``),
-    sort each user's events locally by time, split on gap, emit one row
-    per session. The partitioning assumption is the documented one for
-    this operator family: all events of a user fit one group (true for
-    keyed telemetry; a user with unbounded history would need
-    day-bucketing first)."""
+
+    Scale shape (the ``user_running`` pattern): users are hash-bucketed,
+    so the ONE shuffle is a bounded-cardinality groupby — never a
+    per-user group. Inside each bucket a single vectorized polars kernel
+    (sort → gap diff ``over(user_id)`` → ``cum_sum`` session ids → one
+    group_by) sessionizes every user in the bucket at once; at millions
+    of users the old per-user pandas ``map_groups`` callback was
+    millions of tiny Python frames (the round-3 VERDICT's #2 item).
+    Partitioning contract: a BUCKET of users fits a task — raise
+    ``num_buckets`` with user count."""
+    import polars as pl
+
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
-    gap = np.timedelta64(gap_minutes * 60, "s")
+    gap_us = gap_minutes * 60 * 1_000_000
+    mask = num_buckets - 1  # num_buckets must be 2^k
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts", kind="mergesort")
-        ts = df["ts"].to_numpy()
-        new_session = np.ones(len(ts), dtype=bool)
-        if len(ts) > 1:
-            new_session[1:] = (ts[1:] - ts[:-1]) > gap
-        sid = np.cumsum(new_session)
-        g = df.assign(session=sid).groupby("session", as_index=False).agg(
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("ts", "size"),
-            sum_value=("value", "sum"),
+    def assign(t: pa.Table) -> pa.Table:
+        h = pl.from_arrow(t.select(["user_id"]))["user_id"].hash(seed=11)
+        bucket = (h.to_numpy() & np.uint64(mask)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def sessions(g: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(g.drop_columns(["bucket"]))
+            .sort(["user_id", "ts"])
+            .with_columns(
+                new_s=(
+                    (pl.col("ts") - pl.col("ts").shift(1).over("user_id"))
+                    .dt.total_microseconds()
+                    > gap_us
+                ).fill_null(True)
+            )
+            .with_columns(sid=pl.col("new_s").cum_sum().over("user_id"))
         )
-        g.insert(0, "user_id", df["user_id"].iloc[0])
-        return g.drop(columns=["session"])
+        out = (
+            df.group_by(["user_id", "sid"])
+            .agg(
+                session_start=pl.col("ts").min(),
+                session_end=pl.col("ts").max(),
+                n_events=pl.len().cast(pl.Int64),
+                sum_value=pl.col("value").sum(),
+            )
+            .drop("sid")
+        )
+        t = out.to_arrow()
+        # numpy round matches DuckDB round(x, 2) representation (same
+        # note as user_running)
+        sv = pa.array(np.round(out["sum_value"].to_numpy(), 2))
+        uid = t["user_id"]
+        if pa.types.is_large_string(uid.type):  # polars strings round-trip
+            uid = uid.cast(pa.string())         # as large_string
+        return pa.table(
+            {
+                "user_id": uid,
+                "session_start": t["session_start"],
+                "session_end": t["session_end"],
+                "n_events": t["n_events"].cast(pa.int64()),
+                "sum_value": sv,
+            }
+        )
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
-    out["n_events"] = out["n_events"].astype("int64")
-    out["sum_value"] = out["sum_value"].round(2)
-    return out[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
 
 
 def q5_region_revenue(
@@ -496,6 +535,50 @@ def user_running(sf_dir: str, num_buckets: int = 32) -> ray.data.Dataset:
     )
 
 
+def _source_lang_finest(
+    sf_dir: str, with_chars: bool, num_buckets: int = 8
+) -> pd.DataFrame:
+    """Finest-level (source, lang) aggregate for the ROLLUP/CUBE/pivot
+    family: batch-local Arrow partials, ONE bounded hash-bucket shuffle,
+    per-bucket Arrow merge. Deliberately NOT ``ds.groupby([keys])``:
+    Ray's sort-based groupby comparator rejects NULL grouping keys
+    (``'<' not supported``), while Arrow ``group_by`` and the polars row
+    hash both treat null as an ordinary value — so null-keyed corpora
+    aggregate instead of crashing (SQL semantics)."""
+    import polars as pl
+
+    cols = ["source", "lang"] + (["n_chars"] if with_chars else [])
+    ds = _read(sf_dir, "documents", cols)
+    mask = num_buckets - 1  # num_buckets must be 2^k
+    aggs = [([], "count_all")] + ([("n_chars", "sum")] if with_chars else [])
+    names = ["source", "lang", "n"] + (["sum_chars"] if with_chars else [])
+    sums = ["n"] + (["sum_chars"] if with_chars else [])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t.group_by(["source", "lang"]).aggregate(aggs).rename_columns(names)
+        h = pl.from_arrow(p.select(["source", "lang"])).hash_rows(
+            seed=11
+        ).to_numpy()
+        return p.append_column(
+            "bucket", pa.array((h & np.uint64(mask)).astype(np.int32))
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        return (
+            g.drop_columns(["bucket"])
+            .group_by(["source", "lang"])
+            .aggregate([(c, "sum") for c in sums])
+            .rename_columns(["source", "lang"] + sums)
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket", num_partitions=max(1, num_buckets // 2))
+        .map_groups(merge, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
 def rollup_stats(sf_dir: str) -> pd.DataFrame:
     """``GROUP BY ROLLUP (source, lang)`` over documents: count + total
     chars at every rollup level. Scale shape: the corpus is touched ONCE
@@ -503,24 +586,11 @@ def rollup_stats(sf_dir: str) -> pd.DataFrame:
     ``groupby(source, lang)`` over #source×#lang partial rows — and the
     coarser levels (per-source, grand total) are re-aggregated from that
     finest-level table, which is aggregate-sized, not corpus-sized."""
-    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        return (
-            t.group_by(["source", "lang"])
-            .aggregate([([], "count_all"), ("n_chars", "sum")])
-            .rename_columns(["source", "lang", "n", "sum_chars"])
-        )
-
-    finest = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["source", "lang"])
-        .sum(["n", "sum_chars"])
-        .to_pandas()
-        .rename(columns={"sum(n)": "n", "sum(sum_chars)": "sum_chars"})
-    )
+    finest = _source_lang_finest(sf_dir, with_chars=True)
     per_source = (
-        finest.groupby("source", as_index=False)[["n", "sum_chars"]]
+        finest.groupby("source", as_index=False, dropna=False)[
+            ["n", "sum_chars"]
+        ]
         .sum()
         .assign(lang=None)
     )
@@ -727,29 +797,24 @@ def cube_stats(sf_dir: str) -> pd.DataFrame:
     (batch-local partials, one tiny finest-level shuffle) and the three
     coarser sets re-aggregate from the aggregate-sized finest table; CUBE
     adds the per-lang set ROLLUP lacks."""
-    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        return (
-            t.group_by(["source", "lang"])
-            .aggregate([([], "count_all"), ("n_chars", "sum")])
-            .rename_columns(["source", "lang", "n", "sum_chars"])
-        )
-
-    finest = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["source", "lang"])
-        .sum(["n", "sum_chars"])
-        .to_pandas()
-        .rename(columns={"sum(n)": "n", "sum(sum_chars)": "sum_chars"})
-    )
+    finest = _source_lang_finest(sf_dir, with_chars=True)
+    # dropna=False: data rows with NULL source/lang must still reach the
+    # subtotal sets (SQL GROUP BY CUBE keeps null keys as ordinary
+    # values). NOTE the remaining documented divergence: in the OUTPUT a
+    # NULL key is ambiguous between "total row" and "data null" — SQL
+    # disambiguates with GROUPING(); consumers needing that on
+    # null-keyed inputs should add a grouping-id column.
     per_source = (
-        finest.groupby("source", as_index=False)[["n", "sum_chars"]]
+        finest.groupby("source", as_index=False, dropna=False)[
+            ["n", "sum_chars"]
+        ]
         .sum()
         .assign(lang=None)
     )
     per_lang = (
-        finest.groupby("lang", as_index=False)[["n", "sum_chars"]]
+        finest.groupby("lang", as_index=False, dropna=False)[
+            ["n", "sum_chars"]
+        ]
         .sum()
         .assign(source=None)
     )
@@ -771,23 +836,19 @@ def pivot_counts(sf_dir: str) -> pd.DataFrame:
     aggregate-sized result, never on the corpus. The language column set
     must be small and known — a wide pivot over unbounded keys belongs in
     a (key, value) long table instead."""
-    ds = _read(sf_dir, "documents", ["source", "lang"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        return (
-            t.group_by(["source", "lang"])
-            .aggregate([([], "count_all")])
-            .rename_columns(["source", "lang", "n"])
-        )
-
-    finest = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["source", "lang"])
-        .sum("n")
-        .to_pandas()
-        .rename(columns={"sum(n)": "n"})
-    )
+    finest = _source_lang_finest(sf_dir, with_chars=False)
     langs = ["de", "en", "es", "fr", "zh"]  # fixed domain: stable schema
+    extra = sorted(set(finest["lang"].dropna()) - set(langs))
+    if extra:
+        # observable truncation (same posture as the LSH bucket caps):
+        # langs outside the fixed pivot domain are dropped from the wide
+        # table, never silently
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pivot_counts: %d langs outside the fixed column domain "
+            "dropped from the pivot: %s", len(extra), extra,
+        )
     wide = (
         finest.pivot_table(index="source", columns="lang", values="n",
                            aggfunc="sum", fill_value=0)

@@ -114,6 +114,30 @@ def merge_triple_partials(group: pa.Table, max_doc_ids: int) -> pa.Table:
 # -- vectorized variants (bucket scheme v2) -----------------------------------
 
 
+def bucket_hash_probe() -> str:
+    """Fingerprint of the polars row-hash function actually in effect:
+    the hash of a fixed sentinel triple set, digested. Folded into the
+    resume manifests' ``bucket_scheme`` so that a polars upgrade (or a
+    mixed-version cluster) whose ``hash_rows`` output changed
+    auto-invalidates old buckets instead of silently splitting triples
+    across incompatible bucket assignments — and, unlike pinning
+    ``pl.__version__``, does NOT needlessly invalidate when an upgrade
+    keeps the hash stable."""
+    import hashlib
+
+    import polars as pl
+
+    sentinel = pl.DataFrame(
+        {
+            "subj_id": ["E0", "E17", "", "Ω-entity"],
+            "pred_id": ["P0", "P3", "p", "P"],
+            "obj_id": ["E2", "E9", "o", "O"],
+        }
+    )
+    h = sentinel.hash_rows(seed=11).to_list()
+    return hashlib.sha1(",".join(map(str, h)).encode()).hexdigest()[:12]
+
+
 def partial_triple_agg_vec(
     batch: pa.Table, num_buckets: int, max_doc_ids: int
 ) -> pa.Table:

@@ -368,3 +368,64 @@ def test_clustering_counts_micro(ray_session, tmp_path):
     assert got["n_wedges"].to_dict() == {"A": 1, "B": 1, "C": 3, "D": 0}
     # the one triangle touches A, B, C
     assert got["n_tri"].to_dict() == {"A": 1, "B": 1, "C": 1, "D": 0}
+
+
+def test_triangle_degree_ordering_bounds_hub_wedges(ray_session, tmp_path):
+    """Round-4 scale fix: wedges are generated from each vertex's
+    HIGHER-RANK out-neighborhood (rank = (degree, id)), so a hub whose id
+    sorts low no longer contributes deg² wedge candidates. The fixture is
+    the adversarial case for the old canonical-id orientation: hub "E000"
+    (lexicographically smallest) touches ~38% of edges.
+
+    Asserts (a) the count is still exact vs a DuckDB oracle that knows
+    nothing about orientation, and (b) the analytic wedge-table size under
+    degree-ordering is >1000x smaller than under id-ordering."""
+    import duckdb
+
+    hub = "E000"
+    spokes = [f"E{i:03d}" for i in range(1, 1201)]
+    rows = [("d0", hub, "p", s, True) for s in spokes]
+    # triangles: hub-E001-E002, hub-E003-E004 (spoke-spoke edges)
+    rows += [("d1", "E001", "q", "E002", True),
+             ("d1", "E003", "q", "E004", True),
+             # a hub-free triangle, plus its duplicate/reversed edges
+             ("d2", "E500", "q", "E501", True),
+             ("d2", "E501", "q", "E502", True),
+             ("d2", "E502", "q", "E500", True),
+             ("d2", "E501", "p", "E500", True)]
+    path = _write_triples(tmp_path, rows)
+
+    from genie_ray.pipelines.graph import triangle_count
+
+    got = triangle_count(path, num_buckets=8, num_partitions=4).to_pandas()
+    want = duckdb.sql(
+        "WITH e AS (SELECT DISTINCT least(subj_id, obj_id) u, "
+        "greatest(subj_id, obj_id) v FROM "
+        f"read_parquet('{path}') WHERE matched AND subj_id <> obj_id) "
+        "SELECT count(*) n FROM e a JOIN e b ON a.v = b.u "
+        "JOIN e c ON c.u = a.u AND c.v = b.v"
+    ).df()["n"][0]
+    # 6 = hub-E001-E002, hub-E003-E004, E500-E501-E502, plus the three
+    # hub-E50x-E50y triangles (E50x are spokes too)
+    assert got["n_triangles"].tolist() == [int(want)] == [6]
+
+    # analytic wedge-table sizes: sum over vertices of C(outdeg, 2)
+    edges = duckdb.sql(
+        "SELECT DISTINCT least(subj_id, obj_id) u, "
+        "greatest(subj_id, obj_id) v FROM "
+        f"read_parquet('{path}') WHERE matched AND subj_id <> obj_id"
+    ).df()
+    deg = {}
+    for a, b in zip(edges["u"], edges["v"]):
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out_id, out_rank = {}, {}
+    for a, b in zip(edges["u"], edges["v"]):
+        lo_id = min(a, b)
+        out_id[lo_id] = out_id.get(lo_id, 0) + 1
+        lo_rk = min(a, b, key=lambda x: (deg[x], x))
+        out_rank[lo_rk] = out_rank.get(lo_rk, 0) + 1
+    wedges_id = sum(d * (d - 1) // 2 for d in out_id.values())
+    wedges_rank = sum(d * (d - 1) // 2 for d in out_rank.values())
+    assert wedges_id > 700_000          # hub deg² explosion under id order
+    assert wedges_rank < 700            # bounded under degree order

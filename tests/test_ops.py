@@ -755,3 +755,55 @@ def test_drop_frequent_lines_idempotent(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(canon(once), canon(twice))
+
+
+def test_cube_stats_keeps_null_keys_in_subtotals(ray_session, tmp_path):
+    """SQL GROUP BY CUBE treats NULL keys as ordinary grouping values —
+    the pandas re-aggregation must not drop them from the per-source /
+    per-lang subtotal sets (round-4 ADVICE fix: dropna=False)."""
+    import pyarrow.parquet as pq
+
+    from genie_ray.pipelines.relational import cube_stats
+
+    pq.write_table(
+        pa.table(
+            {
+                "source": ["web", "web", None, "books"],
+                "lang": ["en", None, "en", "en"],
+                "n_chars": pa.array([10, 20, 30, 40], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = cube_stats(str(tmp_path))
+    # finest(3 distinct pairs incl null-keyed) + per-source(3 incl null)
+    # + per-lang(2 incl null) + total(1)
+    assert len(out) == 4 + 3 + 2 + 1
+    # the null-lang data row participates in web's source subtotal
+    web = out[(out["source"] == "web") & (out["lang"].isna())]
+    assert sorted(web["sum_chars"].tolist()) == [20, 30]  # (web,NULL-data)=20, web-subtotal=30
+
+
+def test_pivot_counts_logs_out_of_domain_langs(ray_session, tmp_path, caplog):
+    """Langs outside the fixed pivot domain are dropped OBSERVABLY (a
+    warning names them), never silently (round-4 ADVICE fix)."""
+    import logging
+
+    import pyarrow.parquet as pq
+
+    from genie_ray.pipelines.relational import pivot_counts
+
+    pq.write_table(
+        pa.table(
+            {
+                "source": ["web", "web", "books"],
+                "lang": ["en", "xx", "en"],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    with caplog.at_level(logging.WARNING, logger="genie_ray.pipelines.relational"):
+        out = pivot_counts(str(tmp_path))
+    assert "xx" in caplog.text
+    assert list(out.columns) == ["source", "n_de", "n_en", "n_es", "n_fr", "n_zh"]
+    assert out.set_index("source").loc["web", "n_en"] == 1
