@@ -1198,6 +1198,22 @@ def _q_near_dup_cosine(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _q_curate_pipeline(sf_dir: str):
+    """Flagship composed curation chain — lang gate → quality/repetition
+    cut → exact global dedup → benchmark hold-out + 8-gram
+    decontamination → deterministic split assignment → greedy sequence
+    packing — as ONE Ray Data pipeline (`pipelines/curate.py`). The
+    staged variant (`curate()`) writes every stage as partitioned
+    Parquet + lineage manifests and resumes from finished partitions;
+    this entry runs the identical transforms in-memory so the chained
+    DuckDB oracle hash-checks the composition end-to-end."""
+    import os
+
+    from genie_ray.pipelines.curate import curate_dataset
+
+    return curate_dataset(os.path.join(sf_dir, "documents.parquet"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from genie_ray.pipelines import relational as R
 
@@ -1244,6 +1260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_cols": _q_profile,
         "pack_sequences": _q_pack_sequences,
         # curation: decontamination + deterministic sampling
+        "curate_pipeline": _q_curate_pipeline,
         "decontaminate": _q_decontaminate,
         "domain_mix": _q_domain_mix,
         "split_assign": _q_split_assign,
@@ -1615,6 +1632,85 @@ def oracle_sql() -> dict[str, str]:
         ),
         # greedy packing replayed as a recursive CTE: same (fill + n > B)
         # recurrence as functions/corpus.py pack_group, per id%8 stream
+        # chained end-to-end oracle for the flagship composed pipeline:
+        # lang+quality+repetition cut → exact dedup (min id per text) →
+        # bench holdout (doc_id%97==0) + 8-gram decontamination →
+        # splitmix64 train split → greedy 512-token packing — every
+        # clause reuses the component oracles' exact formulas above
+        "curate_pipeline": (
+            "WITH RECURSIVE "
+            "qtoks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws "
+            "  FROM documents), "
+            "q AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN 0.0 ELSE "
+            f"  len(list_filter(ws, x -> lower(x) IN {_SQL_STOPWORDS})) "
+            "  / len(ws) END AS sr FROM qtoks), "
+            "rw AS (SELECT doc_id, "
+            "  unnest(regexp_extract_all(text, '\\S+')) AS w, "
+            "  generate_subscripts(regexp_extract_all(text, '\\S+'), 1) "
+            "    AS ord FROM documents), "
+            "seq AS (SELECT doc_id, w, "
+            "  lead(w, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2, "
+            "  lead(w, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS w3 "
+            "  FROM rw), "
+            "bgc AS (SELECT doc_id, w || ' ' || w2 AS g, count(*) AS c "
+            "  FROM seq WHERE w2 IS NOT NULL GROUP BY 1, 2), "
+            "bga AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tb "
+            "  FROM bgc GROUP BY doc_id), "
+            "tgc AS (SELECT doc_id, w || ' ' || w2 || ' ' || w3 AS g, "
+            "  count(*) AS c FROM seq WHERE w3 IS NOT NULL GROUP BY 1, 2), "
+            "tga AS (SELECT doc_id, "
+            "  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) "
+            "  AS tg FROM tgc GROUP BY doc_id), "
+            "lc AS (SELECT doc_id, l, count(*) AS c FROM ("
+            "  SELECT doc_id, unnest(string_split(text, chr(10))) AS l "
+            "  FROM documents) WHERE l <> '' GROUP BY 1, 2), "
+            "la AS (SELECT doc_id, "
+            "  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) "
+            "  AS dl FROM lc GROUP BY doc_id), "
+            "clean AS (SELECT d.doc_id, d.text FROM documents d "
+            "  JOIN q USING (doc_id) "
+            "  LEFT JOIN bga USING (doc_id) LEFT JOIN tga USING (doc_id) "
+            "  LEFT JOIN la USING (doc_id) "
+            "  WHERE d.lang = 'en' AND length(d.text) >= 100 "
+            "    AND q.sr >= 0.02 AND coalesce(bga.tb, 0.0) <= 0.05 "
+            "    AND coalesce(tga.tg, 0.0) <= 0.5 "
+            "    AND coalesce(la.dl, 0.0) <= 0.3), "
+            "keepers AS (SELECT min(doc_id) AS doc_id FROM clean "
+            "  GROUP BY text), "
+            "dd AS (SELECT c.doc_id, c.text FROM clean c "
+            "  JOIN keepers USING (doc_id)), "
+            "dw AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w "
+            "  FROM dd), "
+            "pos AS (SELECT doc_id, w, "
+            "  unnest(generate_series(1, greatest(len(w)-7, 0))) AS i "
+            "  FROM dw), "
+            "grams AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g "
+            "  FROM pos), "
+            "contam AS (SELECT DISTINCT doc_id FROM grams "
+            "  WHERE doc_id % 97 <> 0 AND g IN "
+            "    (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)), "
+            "decon AS (SELECT dd.doc_id, dd.text FROM dd "
+            "  WHERE dd.doc_id % 97 <> 0 "
+            "    AND dd.doc_id NOT IN (SELECT doc_id FROM contam)), "
+            "train AS (SELECT doc_id, text FROM "
+            + _smx("doc_id, text", "decon", "doc_id")
+            + " WHERE h % 10000 < 9000), "
+            "pd AS (SELECT doc_id, doc_id % 8 AS grp, "
+            "  len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tok, "
+            "  row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) "
+            "    AS rn FROM train), "
+            "rec AS (SELECT grp, rn, doc_id, n_tok, 0::BIGINT AS bin, "
+            "    n_tok AS fill FROM pd WHERE rn = 1 "
+            "  UNION ALL "
+            "  SELECT pd.grp, pd.rn, pd.doc_id, pd.n_tok, "
+            "    CASE WHEN rec.fill + pd.n_tok > 512 THEN rec.bin + 1 "
+            "      ELSE rec.bin END, "
+            "    CASE WHEN rec.fill + pd.n_tok > 512 THEN pd.n_tok "
+            "      ELSE rec.fill + pd.n_tok END "
+            "  FROM rec JOIN pd ON pd.grp = rec.grp AND pd.rn = rec.rn + 1) "
+            "SELECT grp, doc_id, n_tok, bin FROM rec"
+        ),
         "pack_sequences": (
             "WITH RECURSIVE d AS ("
             "  SELECT doc_id, doc_id % 8 AS grp, "

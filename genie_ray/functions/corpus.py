@@ -313,9 +313,10 @@ def benchmark_ngram_list(
         df = _ngram_frame(t, n, id_col, text_col)
         return df.select("g").unique().to_arrow()
 
-    tab = pa.Table.from_pandas(
-        bench.map_batches(grams, batch_format="pyarrow").to_pandas().drop_duplicates()
-    )
+    df = bench.map_batches(grams, batch_format="pyarrow").to_pandas()
+    if "g" not in df.columns:  # empty benchmark set → no gram column
+        return pa.array([], pa.string())
+    tab = pa.Table.from_pandas(df.drop_duplicates())
     return tab["g"].combine_chunks()
 
 

@@ -171,6 +171,26 @@ def cmd_graph(args) -> dict:
     return summary
 
 
+def cmd_curate(args) -> dict:
+    """``curate`` mode: the staged resumable curation pipeline — one
+    lineage-manifested Parquet set per stage under ``<output>/``."""
+    from .pipelines.curate import CurateConfig, curate
+
+    cfg = CurateConfig(
+        num_partitions=args.num_partitions,
+        num_buckets=args.num_buckets,
+        lang_mode=args.lang_mode,
+        lang_keep=tuple(args.lang.split(",")),
+        near_dup=args.near_dup,
+        pack_budget=args.pack_budget,
+        pack_groups=args.pack_groups,
+        resume=not args.no_resume,
+    )
+    summary = curate(args.input, args.output, cfg)
+    print(json.dumps(summary))
+    return summary
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="genie_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -227,6 +247,30 @@ def main(argv=None) -> None:
     gr.add_argument("--num-buckets", type=int, default=64)
     gr.add_argument("--num-partitions", type=int, default=8)
     gr.set_defaults(fn=cmd_graph)
+
+    cu = sub.add_parser(
+        "curate",
+        help="resumable end-to-end training-data curation over a "
+             "documents Parquet: lang gate → quality/repetition cut → "
+             "global dedup → decontamination → split → packing",
+    )
+    cu.add_argument("--input", required=True,
+                    help="documents Parquet (doc_id, text, source, lang)")
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--num-partitions", type=int, default=16)
+    cu.add_argument("--num-buckets", type=int, default=16)
+    cu.add_argument("--lang", default="en",
+                    help="comma list of languages to keep")
+    cu.add_argument("--lang-mode", default="column",
+                    choices=["column", "predict"],
+                    help="'predict' uses the trigram LangId model instead "
+                         "of trusting the lang column")
+    cu.add_argument("--near-dup", action="store_true",
+                    help="also drop MinHash-LSH near-dup cluster losers")
+    cu.add_argument("--pack-budget", type=int, default=512)
+    cu.add_argument("--pack-groups", type=int, default=8)
+    cu.add_argument("--no-resume", action="store_true")
+    cu.set_defaults(fn=cmd_curate)
 
     # config-file-driven composition (the reference's Hydra surface,
     # `run.py:10-39`): every component node instantiates via `_target_`

@@ -39,7 +39,7 @@ def content_digest(doc_ids: Iterable[str]) -> str:
     evidence that every row's content hash survived to the sink."""
     h = hashlib.sha256()
     for d in sorted(set(doc_ids)):
-        h.update(d.encode())
+        h.update(str(d).encode())  # int64 doc ids digest as decimal text
     return h.hexdigest()
 
 
