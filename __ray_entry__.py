@@ -213,6 +213,14 @@ def _q_kilt_examples(sf_dir: str):
     return ds.select_columns(["doc_id", "src", "trg"])
 
 
+def _q_status_counts(sf_dir: str):
+    """G11 (`utils.py:10-36`): instance + triplet matching-status
+    counters over the KILT fixture; oracle = DuckDB read_json unnest."""
+    from genie_ray.sources.kilt import status_counts
+
+    return status_counts(_golden()["kilt"])
+
+
 def _q_canonicalize_join(sf_dir: str):
     """Web-scale canonicalization path: surface→ID as a distributed
     LEFT OUTER hash join on (kind, surface) — for catalogs too large to
@@ -783,6 +791,18 @@ def _q_graph_pagerank(sf_dir: str):
     return pagerank_fixed(_golden()["triples"], iters=3)
 
 
+def _q_graph_pagerank_dangling(sf_dir: str):
+    """PageRank with dangling-mass redistribution: each round the summed
+    rank of out-degree-0 nodes is re-injected uniformly (still exact
+    int64 — `+ mass // n` inside the damped term); oracle unrolls the
+    identical recurrence with a per-round dangling-sum CTE."""
+    from genie_ray.pipelines.graph import pagerank_fixed
+
+    return pagerank_fixed(
+        _golden()["triples"], iters=3, dangling="redistribute"
+    )
+
+
 def _q_graph_khop(sf_dir: str):
     """Min-hop distance within 3 directed hops of the 3 smallest source
     entities — distributed BFS label propagation vs a DuckDB recursive
@@ -942,6 +962,31 @@ def _graph_oracle_sql(triples: str) -> dict[str, str]:
         )
     pr += " SELECT ent AS ent_id, rank::BIGINT AS rank FROM r3"
 
+    # dangling="redistribute" variant: per round, the summed rank of
+    # out-degree-0 nodes is re-injected uniformly inside the damped term
+    # (+ mass // n, exact integer — same recurrence as the Ray op)
+    prd = (
+        f"WITH e AS {e}, "
+        "nodes AS (SELECT src AS ent FROM e UNION SELECT dst FROM e), "
+        "od AS (SELECT src AS ent, count(*) AS od FROM e GROUP BY 1), "
+        "nn AS (SELECT count(*) AS n FROM nodes), "
+        "p AS (SELECT 1000000000000 // count(*) AS r0 FROM nodes), "
+        "r0 AS (SELECT ent, (SELECT r0 FROM p) AS rank FROM nodes)"
+    )
+    for k in range(1, 4):
+        prd += (
+            f", d{k-1} AS (SELECT coalesce(sum(rank), 0)::BIGINT AS dm "
+            f"FROM r{k-1} WHERE ent NOT IN (SELECT ent FROM od))"
+            f", r{k} AS (SELECT n.ent, (15 * (SELECT r0 FROM p)) // 100 "
+            "+ (85 * (coalesce(x.s, 0) "
+            f"+ (SELECT dm FROM d{k-1}) // (SELECT n FROM nn))) // 100 "
+            "AS rank FROM nodes n LEFT JOIN ("
+            "SELECT e.dst AS ent, sum(r.rank // o.od) AS s "
+            f"FROM e JOIN r{k-1} r ON e.src = r.ent "
+            "JOIN od o ON e.src = o.ent GROUP BY e.dst) x ON n.ent = x.ent)"
+        )
+    prd += " SELECT ent AS ent_id, rank::BIGINT AS rank FROM r3"
+
     neg_hashed = splitmix64_sql(
         "subj_id, pred_id, obj_id, i",
         "(SELECT ix.*, v.i FROM idxed ix CROSS JOIN (VALUES (0),(1)) v(i))",
@@ -958,6 +1003,7 @@ def _graph_oracle_sql(triples: str) -> dict[str, str]:
             "FROM o FULL OUTER JOIN i ON o.ent = i.ent"
         ),
         "graph_pagerank": pr,
+        "graph_pagerank_dangling": prd,
         "graph_paths2": (
             f"WITH g AS {gm} "
             "SELECT a.pred_id AS pred_a, b.pred_id AS pred_b, "
@@ -1280,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG graph analytics (over the materialized triple graph)
         "graph_degrees": _q_graph_degrees,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_pagerank_dangling": _q_graph_pagerank_dangling,
         "graph_khop": _q_graph_khop,
         "graph_cooccur": _q_graph_cooccur,
         "graph_paths2": _q_graph_paths2,
@@ -1304,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_eval": _q_bucket_eval,
         "canonicalize_join": _q_canonicalize_join,
         "kilt_examples": _q_kilt_examples,
+        "status_counts": _q_status_counts,
         # zero-shot dataset-prep filters (M5-M8)
         "sample_filter_drop": _q_sample_filter_drop,
         "sample_filter_keep": _q_sample_filter_keep,
@@ -1913,6 +1961,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id AS doc_id, input AS src, output[1].answer AS trg "
             f"FROM read_json_auto('{paths['kilt']}') "
             "WHERE output[1].instance_matching_status IN ('title')"
+        ),
+        "status_counts": (
+            "SELECT 'instance' AS level, "
+            "output[1].instance_matching_status AS status, "
+            f"count(*)::BIGINT AS n FROM read_json_auto('{paths['kilt']}') "
+            "GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'triplet' AS level, s AS status, count(*)::BIGINT AS n "
+            "FROM (SELECT unnest(output[1].non_formatted_triples_match_status) "
+            f"      AS s FROM read_json_auto('{paths['kilt']}')) "
+            "GROUP BY 2"
         ),
         "canonicalize_join": (
             "SELECT t.doc_id, t.subj, t.pred, t.obj, "

@@ -196,6 +196,17 @@ def _sf_scaled_ops(sf_dir: str) -> dict:
 
         return triangle_count(triples_path())
 
+    def op_graph_clustering(_):
+        from genie_ray.pipelines.graph import clustering_counts
+
+        return clustering_counts(triples_path())
+
+    def op_graph_pagerank_dangling(_):
+        from genie_ray.pipelines.graph import pagerank_fixed
+
+        return pagerank_fixed(triples_path(), iters=3, num_buckets=16,
+                              num_partitions=8, dangling="redistribute")
+
     def op_graph_merge(_):
         import pyarrow.compute as pc
         import ray.data
@@ -230,6 +241,8 @@ def _sf_scaled_ops(sf_dir: str) -> dict:
         "graph_paths2": op_graph_paths2,
         "graph_merge": op_graph_merge,
         "graph_triangles": op_graph_triangles,
+        "graph_clustering": op_graph_clustering,
+        "graph_pagerank_dangling": op_graph_pagerank_dangling,
     }
 
 
@@ -254,7 +267,8 @@ def run_query_suite(sf_dir: str) -> dict:
         "sample_filter_drop", "ignore_relinearize", "explode_windows",
         "graph_degrees", "graph_pagerank", "graph_cooccur",
         "graph_neg_sample", "graph_paths2", "graph_merge",
-        "graph_triangles",
+        "graph_triangles", "graph_clustering", "graph_pagerank_dangling",
+        "session_windows", "curate_pipeline",
     ]
     times = {}
     for name in names:

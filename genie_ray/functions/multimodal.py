@@ -101,7 +101,15 @@ def decode_features(
     fake_decode: bool = False,
     concurrency: int = 2,
     batch_size: int = 16,  # small: payload rows are wide
+    decoder: str = "stub",  # "stub" | "pillow" (requires Pillow)
 ) -> ray.data.Dataset:
+    if decoder == "pillow":
+        return ds.map_batches(
+            PillowDecode,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
         DecodeStub,
         fn_constructor_kwargs={"fake_decode": fake_decode},
@@ -109,3 +117,67 @@ def decode_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class PillowDecode:
+    """Real image-decode actor stage, activated when PIL is importable
+    (the HF-backend pattern, `core/hf_backend.py`): the import happens
+    ONCE per actor in ``__init__``; each batch decodes payload bytes to
+    RGB pixel arrays and emits mean-RGB + decoded-size features. In this
+    sandbox PIL is absent, so construction raises ImportError and the
+    pipeline stays on :class:`DecodeStub`; with Pillow installed the
+    stage is a drop-in for ``decode_features(..., decoder="pillow")``.
+    Non-image mimes (and undecodable payloads) yield null features, not
+    a crashed batch — at corpus scale a poison payload must not kill the
+    stage."""
+
+    def __init__(self, feature_dim: int = 8):
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:  # honest capability gate
+            raise ImportError(
+                "PillowDecode requires Pillow; this environment has no "
+                "image codecs — use DecodeStub(fake_decode=True)"
+            ) from e
+        import io
+
+        self._Image = Image
+        self._io = io
+        self.feature_dim = feature_dim
+
+    def _decode(self, payload: bytes, mime: str):
+        if not mime.startswith("image/"):
+            return None
+        try:
+            img = self._Image.open(self._io.BytesIO(payload)).convert("RGB")
+        except Exception:
+            return None
+        arr = np.asarray(img, dtype=np.float64)
+        rgb = arr.mean(axis=(0, 1))
+        pad = np.zeros(max(0, self.feature_dim - 5), np.float64)
+        return np.concatenate(
+            [rgb, [float(img.width), float(img.height)], pad]
+        )[: self.feature_dim]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, shas = [], []
+        for payload, mime in zip(
+            batch["payload"].to_pylist(), batch["mime"].to_pylist()
+        ):
+            f = self._decode(payload, mime)
+            feats.append(None if f is None else f.tolist())
+            shas.append(hashlib.sha256(payload).hexdigest())
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("payload_sha256", pa.array(shas, pa.string()))
+        return out.append_column(
+            "features", pa.array(feats, pa.list_(pa.float64()))
+        )
+
+
+def pillow_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

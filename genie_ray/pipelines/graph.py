@@ -37,6 +37,86 @@ from genie_ray.functions.sampling import splitmix64
 _TRIPLE = ["subj_id", "pred_id", "obj_id"]
 
 
+# -- per-round checkpoints for the iterative ops ------------------------------
+#
+# At 100 TB a 20-round PageRank that dies in round 19 must not restart from
+# round 0. Each round's node-scale state (ranks / BFS labels) is written as
+# a distributed Parquet directory plus a manifest (manifest LAST — its
+# existence is the commit point, same contract as state/lineage.py); resume
+# loads the highest contiguous finished round whose manifest matches this
+# run's identity (input fingerprint + op params) and iterates onward.
+# Because all round arithmetic is int64 fixed-point, a resumed run is
+# bit-identical to an uninterrupted one regardless of block layout.
+
+
+def _ckpt_paths(ckpt_dir: str, k: int):
+    import os
+
+    return (
+        os.path.join(ckpt_dir, f"round-{k:05d}"),
+        os.path.join(ckpt_dir, "_manifest", f"round-{k:05d}.json"),
+    )
+
+
+def _ckpt_resume_round(ckpt_dir: str, meta: dict, max_round: int) -> int:
+    """Highest contiguous finished round r (1-based) with a meta-matching
+    manifest, 0 if none. Mismatched checkpoints (different input/params)
+    are deleted — resuming across them would mix incompatible state."""
+    import json
+    import os
+    import shutil
+
+    mdir = os.path.join(ckpt_dir, "_manifest")
+    if not os.path.isdir(mdir):
+        return 0
+    finished = {}
+    for name in os.listdir(mdir):
+        if not (name.startswith("round-") and name.endswith(".json")):
+            continue
+        k = int(name[len("round-"):-len(".json")])
+        with open(os.path.join(mdir, name)) as f:
+            m = json.load(f)
+        finished[k] = all(m.get(key) == v for key, v in meta.items())
+    stale = [k for k, ok in finished.items() if not ok]
+    if stale:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: invalidating %d stale round checkpoints (run identity "
+            "changed)", ckpt_dir, len(stale),
+        )
+        for k in list(finished):
+            data, man = _ckpt_paths(ckpt_dir, k)
+            shutil.rmtree(data, ignore_errors=True)
+            if os.path.exists(man):
+                os.unlink(man)
+        return 0
+    r = 0
+    while r + 1 in finished and r + 1 <= max_round:
+        r += 1
+    return r
+
+
+def _ckpt_write_round(
+    ckpt_dir: str, k: int, state: ray.data.Dataset, meta: dict
+) -> ray.data.Dataset:
+    """Distributed-write round ``k``'s state, commit the manifest, and
+    return a Dataset READING the checkpoint (so the lineage of later
+    rounds roots at the file, not at the whole upstream plan)."""
+    import json
+
+    from genie_ray.state.lineage import _atomic_write_bytes
+
+    data, man = _ckpt_paths(ckpt_dir, k)
+    state.write_parquet(data)
+    n = ray.data.read_parquet(data).count()
+    _atomic_write_bytes(
+        man, json.dumps({**meta, "round": k, "num_rows": n},
+                        sort_keys=True).encode()
+    )
+    return ray.data.read_parquet(data)
+
+
 def _row_bucket(t: pa.Table, cols: List[str], mask: int) -> pa.Array:
     """Deterministic hash bucket over the named columns (polars row hash —
     stable across processes, unlike Python's salted str hash)."""
@@ -184,6 +264,8 @@ def pagerank_fixed(
     iters: int = 3,
     num_buckets: int = 16,
     num_partitions: int = 8,
+    checkpoint_dir: str | None = None,
+    dangling: str = "drop",
 ) -> ray.data.Dataset:
     """Fixed-iteration PageRank (damping 0.85) over the entity graph.
 
@@ -192,8 +274,16 @@ def pagerank_fixed(
     contribution ``rank // out_degree`` — pure integer ops, so the
     distributed sum is bit-identical to the single-process/SQL value
     regardless of addition order (floats would drift in the last ulp and
-    break hash-exact verification). Dangling-node mass is dropped (both
-    sides implement the same semantics).
+    break hash-exact verification).
+
+    ``dangling``: ``"drop"`` (default — a sink's mass leaves the system,
+    the documented reference semantics) or ``"redistribute"`` — each
+    round the total rank of out-degree-0 nodes is re-injected uniformly
+    (``+ dangling_mass // n`` inside the damped term, still exact int64;
+    the ``% n`` remainder dust is dropped, documented). The per-round
+    dangling mass is ONE tiny distributed aggregate over the node-scale
+    rank table (which carries an ``od`` column in this mode) — no extra
+    join.
 
     Scale shape: per iteration ONE hash join (edges ⋈ ranks on src — the
     edge list is pre-joined with out-degrees once) and ONE bucketed
@@ -215,6 +305,9 @@ def pagerank_fixed(
     r0 = PR_SCALE // n
     base = (15 * r0) // 100
     mask = num_buckets - 1
+    # clamp join partitions to data size: a join partition empty on BOTH
+    # sides finalizes schema-less and Arrow rejects it (verify skill note)
+    num_partitions = max(1, min(num_partitions, n // 1000 + 1))
 
     # out-degree, attached to each edge once (reused every iteration)
     od = e.map_batches(
@@ -259,17 +352,57 @@ def pagerank_fixed(
             {"ent": t["ent"], "rank": pa.array(np.full(len(t), r0, np.int64))}
         )
 
-    ranks = nodes.map_batches(
-        init_ranks, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    if dangling == "redistribute":
+        # rank state carries each node's out-degree so the per-round
+        # dangling mass is a filter+sum over the rank table itself
+        def od_zero(t: pa.Table) -> pa.Table:
+            z = pa.table(
+                {"ent": t["ent"], "od_p": pa.array(np.zeros(len(t), np.int64))}
+            )
+            return z.append_column("bucket", _row_bucket(z, ["ent"], mask))
+
+        def od_rows(t: pa.Table) -> pa.Table:
+            z = pa.table({"ent": t["src"], "od_p": t["od"]})
+            return z.append_column("bucket", _row_bucket(z, ["ent"], mask))
+
+        def od_fold(t: pa.Table) -> pa.Table:
+            m = (
+                t.drop_columns(["bucket"])
+                .group_by("ent")
+                .aggregate([("od_p", "sum")])
+            )
+            return pa.table(
+                {
+                    "ent": m["ent"],
+                    "rank": pa.array(np.full(len(m), r0, np.int64)),
+                    "od": m["od_p_sum"],
+                }
+            )
+
+        ranks = (
+            nodes.map_batches(od_zero, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .union(od.map_batches(od_rows, batch_format="pyarrow"))
+            .groupby("bucket", num_partitions=max(1, num_buckets // 2))
+            .map_groups(od_fold, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .materialize()
+        )
+    else:
+        ranks = nodes.map_batches(
+            init_ranks, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
 
     def zero_rows(t: pa.Table) -> pa.Table:
         z = pa.table(
             {"ent": t["ent"], "s_p": pa.array(np.zeros(len(t), np.int64))}
         )
+        if dangling == "redistribute":  # zeros carry the constant od
+            z = z.append_column("od", t["od"])
         return z.append_column("bucket", _row_bucket(z, ["ent"], mask))
 
-    zeros = nodes.map_batches(
+    zeros_src = ranks if dangling == "redistribute" else nodes
+    zeros = zeros_src.map_batches(
         zero_rows, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
@@ -284,22 +417,69 @@ def pagerank_fixed(
             .aggregate([("s_p", "sum")])
             .rename_columns(["ent", "s_p"])
         )
+        if dangling == "redistribute":  # od rides only on the zeros rows
+            g = g.append_column("od", pa.nulls(len(g), pa.int64()))
         return g.append_column("bucket", _row_bucket(g, ["ent"], mask))
 
-    def update(t: pa.Table) -> pa.Table:
-        m = (
-            t.drop_columns(["bucket"])
-            .group_by("ent")
-            .aggregate([("s_p", "sum")])
-        )
-        s = m["s_p_sum"].combine_chunks().to_numpy(zero_copy_only=False)
-        rank = base + (85 * s) // 100
-        return pa.table({"ent": m["ent"], "rank": pa.array(rank, pa.int64())})
+    def make_update(share: int):
+        def update(t: pa.Table) -> pa.Table:
+            aggs = [("s_p", "sum")]
+            if dangling == "redistribute":
+                aggs.append(("od", "max"))  # null on contrib rows, set on
+            m = (                           # the per-node zeros row
+                t.drop_columns(["bucket"]).group_by("ent").aggregate(aggs)
+            )
+            s = m["s_p_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            rank = base + (85 * (s + share)) // 100
+            out = pa.table(
+                {"ent": m["ent"], "rank": pa.array(rank, pa.int64())}
+            )
+            if dangling == "redistribute":
+                out = out.append_column(
+                    "od", pc.cast(m["od_max"], pa.int64())
+                )
+            return out
 
-    for _ in range(iters):
+        return update
+
+    def dangling_mass(rk: ray.data.Dataset) -> int:
+        def part(t: pa.Table) -> pa.Table:
+            d = t.filter(pc.equal(t["od"], 0).combine_chunks())
+            s = pc.sum(d["rank"]).as_py() or 0
+            return pa.table({"d": pa.array([int(s)], pa.int64())})
+
+        return int(
+            rk.map_batches(part, batch_format="pyarrow").sum("d") or 0
+        )
+
+    start = 0
+    ckpt_meta = None
+    if checkpoint_dir:
+        from genie_ray.state.lineage import input_fingerprint
+
+        ckpt_meta = {
+            "op": "pagerank",
+            "input_fingerprint": input_fingerprint(triples_path),
+            "num_buckets": num_buckets,
+            "arith": "int64-85/100",
+            "dangling": dangling,
+        }
+        start = _ckpt_resume_round(checkpoint_dir, ckpt_meta, iters)
+        if start:
+            data, _ = _ckpt_paths(checkpoint_dir, start)
+            ranks = (
+                ray.data.read_parquet(data)
+                .repartition(num_partitions)
+                .materialize()
+            )
+
+    for k in range(start + 1, iters + 1):
+        share = (
+            dangling_mass(ranks) // n if dangling == "redistribute" else 0
+        )
         sums = e_od.join(
             ranks.map_batches(
-                lambda t: t.rename_columns(["src", "rank"]),
+                lambda t: pa.table({"src": t["ent"], "rank": t["rank"]}),
                 batch_format="pyarrow",
             ),
             "inner",
@@ -309,13 +489,20 @@ def pagerank_fixed(
         ranks = (
             sums.union(zeros)
             .groupby("bucket", num_partitions=max(1, num_buckets // 2))
-            .map_groups(update, batch_format="pyarrow")
+            .map_groups(make_update(share), batch_format="pyarrow")
             .repartition(num_partitions)  # join input: no empty-schema blocks
             .materialize()
         )
+        if checkpoint_dir:
+            ranks = (
+                _ckpt_write_round(checkpoint_dir, k, ranks, ckpt_meta)
+                .repartition(num_partitions)
+                .materialize()
+            )
 
     return ranks.map_batches(
-        lambda t: t.rename_columns(["ent_id", "rank"]), batch_format="pyarrow"
+        lambda t: pa.table({"ent_id": t["ent"], "rank": t["rank"]}),
+        batch_format="pyarrow",
     )
 
 
@@ -330,6 +517,7 @@ def khop_reachable(
     num_seeds: int = 3,
     num_buckets: int = 16,
     num_partitions: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> ray.data.Dataset:
     """Entities reachable within ``k`` directed hops of the seed set (the
     ``num_seeds`` lexicographically-smallest source entities — a
@@ -347,11 +535,15 @@ def khop_reachable(
         .repartition(num_partitions)
         .materialize()
     )
-    if e.count() == 0:  # no matched edges: empty result, stable schema
+    n_e = e.count()
+    if n_e == 0:  # no matched edges: empty result, stable schema
         return ray.data.from_arrow(
             pa.table({"ent_id": pa.array([], pa.string()),
                       "hops": pa.array([], pa.int64())})
         )
+    # clamp join partitions to data size (schema-less empty-partition
+    # hazard — same note as pagerank_fixed)
+    num_partitions = max(1, min(num_partitions, n_e // 1000 + 1))
     seeds = _distinct(e.select_columns(["src"]), ["src"], num_buckets).sort(
         "src"
     ).limit(num_seeds)
@@ -381,7 +573,27 @@ def khop_reachable(
             .rename_columns(["ent", "hops"])
         )
 
-    for _ in range(k):
+    start = 0
+    ckpt_meta = None
+    if checkpoint_dir:
+        from genie_ray.state.lineage import input_fingerprint
+
+        ckpt_meta = {
+            "op": "khop",
+            "input_fingerprint": input_fingerprint(triples_path),
+            "num_buckets": num_buckets,
+            "num_seeds": num_seeds,
+        }
+        start = _ckpt_resume_round(checkpoint_dir, ckpt_meta, k)
+        if start:
+            data, _ = _ckpt_paths(checkpoint_dir, start)
+            labels = (
+                ray.data.read_parquet(data)
+                .repartition(num_partitions)
+                .materialize()
+            )
+
+    for rnd in range(start + 1, k + 1):
         nbr = e.join(
             labels.map_batches(
                 lambda t: t.rename_columns(["src", "hops"]),
@@ -404,6 +616,12 @@ def khop_reachable(
             .repartition(num_partitions)  # join input: no empty-schema blocks
             .materialize()
         )
+        if checkpoint_dir:
+            labels = (
+                _ckpt_write_round(checkpoint_dir, rnd, labels, ckpt_meta)
+                .repartition(num_partitions)
+                .materialize()
+            )
 
     return labels.map_batches(
         lambda t: t.rename_columns(["ent_id", "hops"]), batch_format="pyarrow"

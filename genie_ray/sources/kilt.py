@@ -42,6 +42,7 @@ _KILT_SCHEMA = pa.schema(
         ("src", pa.string()),
         ("answer", pa.string()),
         ("instance_matching_status", pa.string()),
+        ("triples_status", pa.list_(pa.string())),
         ("surface_triples", _TRIPLE_T),
         ("id_triples", _TRIPLE_T),
     ]
@@ -60,6 +61,7 @@ def _parse_lines(batch: pa.Table) -> pa.Table:
         out["src"].append(obj["input"])
         out["answer"].append(o.get("answer"))
         out["instance_matching_status"].append(o.get("instance_matching_status"))
+        out["triples_status"].append(o.get("non_formatted_triples_match_status"))
         out["surface_triples"].append(o.get("non_formatted_surface_output"))
         # meta_obj location takes precedence (datasets.py:97-100)
         ids = (obj.get("meta_obj") or {}).get("non_formatted_wikidata_id_output")
@@ -89,10 +91,16 @@ def read_kilt_examples(
     relations_to_keep: Optional[Iterable[str]] = None,
     relations_to_ignore: Optional[Iterable[str]] = None,
     relations_not_to_ignore: Optional[Iterable[str]] = None,
+    shuffle_seed: Optional[int] = None,
 ) -> ray.data.Dataset:
     """M3 + M4–M8: the ``from_kilt_dataset`` composition
     (`datasets.py:203-267`), same order of operations. Returns
-    ``(doc_id, src, trg, id_triples)`` rows."""
+    ``(doc_id, src, trg, id_triples)`` rows.
+
+    ``shuffle_seed`` (O6, reference `datasets_pl.py:116-126`): the
+    training loader's seeded epoch shuffle — a full ``random_shuffle``
+    over the example set, deterministic for a fixed seed (two runs yield
+    the identical row order)."""
     assert not (relations_to_ignore is not None and relations_not_to_ignore is not None), (
         "relations_to_ignore and relations_not_to_ignore are mutually "
         "exclusive (datasets.py:238)"
@@ -198,9 +206,58 @@ def read_kilt_examples(
             }
         )
 
-    return ds.map_batches(
+    out = ds.map_batches(
         project, fn_kwargs={"ignore_set": ignore},
         batch_format="pyarrow", zero_copy_batch=True,
+    )
+    if shuffle_seed is not None:
+        out = out.random_shuffle(seed=shuffle_seed)
+    return out
+
+
+def status_counts(path: str) -> ray.data.Dataset:
+    """G11 (reference `utils.py:10-36` ``count_matches_kilt_jsonl``):
+    corpus matching-status counters over a KILT JSONL — instance-level
+    (one row per document) and triplet-level (the per-triple status
+    list, exploded). Output: (level, status, n).
+
+    Scale shape: one batch-local Arrow ``group_by`` partial per block,
+    then a final groupby over (level, status) — an aggregate-sized
+    exchange (#levels × #statuses rows per upstream block), never a
+    corpus shuffle. The reference's third (item/provenance) counter has
+    no corresponding field in this closed-world fixture and is
+    documented out."""
+    import pyarrow.compute as pc
+
+    ds = read_kilt(path)
+
+    def partial(t: pa.Table) -> pa.Table:
+        inst = t["instance_matching_status"]
+        trip = pc.list_flatten(t["triples_status"])
+        level = pa.chunked_array(
+            [pa.array(["instance"] * len(inst), pa.string()),
+             pa.array(["triplet"] * len(trip), pa.string())]
+        )
+        status = pa.chunked_array(
+            list(inst.chunks if hasattr(inst, "chunks") else [inst])
+            + list(trip.chunks if hasattr(trip, "chunks") else [trip]),
+            type=pa.string(),
+        )
+        return (
+            pa.table({"level": level, "status": status})
+            .group_by(["level", "status"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["level", "status", "n_p"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["level", "status"])
+        .sum("n_p")
+        .map_batches(
+            lambda t: t.rename_columns(["level", "status", "n"]),
+            batch_format="pyarrow",
+        )
     )
 
 

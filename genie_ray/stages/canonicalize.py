@@ -164,6 +164,7 @@ def canonicalize_via_join(
     triples,
     catalog,
     num_partitions: int = 16,
+    check_unique: bool = True,
 ):
     """Surface→ID canonicalization as distributed hash-partition JOINs —
     the documented J1/J2 alternative for catalogs too large to broadcast
@@ -193,6 +194,27 @@ def canonicalize_via_join(
     waiting for the other); a join is a full shuffle barrier anyway, so
     staging the compact intermediate in the (spillable) object store costs
     residency, not an extra pass."""
+    if check_unique:
+        # the 1:1-join cardinality argument above is sound ONLY for a
+        # title-deduped catalog: a duplicated (kind, surface) key would
+        # silently MULTIPLY triples through the left joins. One distinct
+        # count over the (small) catalog side fails loudly instead;
+        # pass check_unique=False to skip for a catalog already
+        # validated upstream (e.g. fresh from prune_duplicate_titles).
+        from genie_ray.pipelines.graph import _distinct
+
+        n_rows = catalog.count()
+        n_keys = _distinct(
+            catalog.select_columns(["kind", "surface"]), ["kind", "surface"]
+        ).count()
+        if n_keys != n_rows:
+            raise ValueError(
+                f"canonicalize_via_join: catalog has {n_rows} rows but "
+                f"only {n_keys} distinct (kind, surface) keys — a "
+                "duplicated surface would multiply triples through the "
+                "1:1 joins. Dedup the catalog (prune_duplicate_titles) "
+                "first."
+            )
     join_args = {
         "num_partitions": num_partitions,
         "aggregator_ray_remote_args": {"num_cpus": 0.25},

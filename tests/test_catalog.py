@@ -149,3 +149,37 @@ def test_canonicalize_join_equals_broadcast(ray_session):
     # some label-provenance and no_match rows must actually occur for the
     # status logic to be exercised
     assert set(want["match_status"]) >= {"title"}
+
+
+def test_canonicalize_via_join_rejects_duplicated_catalog(ray_session):
+    """The 1:1-join cardinality contract is asserted: a catalog with a
+    duplicated (kind, surface) key fails loudly instead of silently
+    multiplying triples (round-4 ADVICE guard)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from genie_ray.stages.canonicalize import canonicalize_via_join
+
+    catalog = ray.data.from_arrow(
+        pa.table(
+            {
+                "kind": pa.array(["e", "e", "r"], pa.string()),
+                "surface": pa.array(["Alpha", "Alpha", "rel"], pa.string()),
+                "cid": pa.array(["Q1", "Q2", "P1"], pa.string()),
+                "provenance": pa.array(["en_title"] * 3, pa.string()),
+            }
+        )
+    )
+    triples = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["d1"], pa.string()),
+                "subj": pa.array(["Alpha"], pa.string()),
+                "pred": pa.array(["rel"], pa.string()),
+                "obj": pa.array(["Alpha"], pa.string()),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="distinct \\(kind, surface\\)"):
+        canonicalize_via_join(triples, catalog, num_partitions=2)

@@ -429,3 +429,105 @@ def test_triangle_degree_ordering_bounds_hub_wedges(ray_session, tmp_path):
     wedges_rank = sum(d * (d - 1) // 2 for d in out_rank.values())
     assert wedges_id > 700_000          # hub deg² explosion under id order
     assert wedges_rank < 700            # bounded under degree order
+
+
+def test_pagerank_checkpoint_resume_bit_identical(ray_session, tmp_path):
+    """Kill-after-round-k contract: a run checkpointing per round, then a
+    resumed run asking for more rounds, produces ranks BIT-IDENTICAL to
+    an uninterrupted run (int64 fixed-point makes this exactly
+    checkable) — and the finished round checkpoints are not rewritten."""
+    import pandas as pd
+
+    from genie_ray.fixtures import write_triples_parquet
+    from genie_ray.pipelines.graph import pagerank_fixed
+
+    path = os.path.join(str(tmp_path), "t.parquet")
+    write_triples_parquet(path, n_triples=5_000, n_entities=800, n_docs=1_000)
+    want = (
+        pagerank_fixed(path, iters=3)
+        .to_pandas().sort_values("ent_id").reset_index(drop=True)
+    )
+    ck = os.path.join(str(tmp_path), "ck")
+    # "crash" after round 2: run only 2 rounds, checkpointed
+    pagerank_fixed(path, iters=2, checkpoint_dir=ck).materialize()
+    m1 = os.path.join(ck, "_manifest", "round-00001.json")
+    m2 = os.path.join(ck, "_manifest", "round-00002.json")
+    assert os.path.exists(m1) and os.path.exists(m2)
+    t1, t2 = os.path.getmtime(m1), os.path.getmtime(m2)
+    got = (
+        pagerank_fixed(path, iters=3, checkpoint_dir=ck)
+        .to_pandas().sort_values("ent_id").reset_index(drop=True)
+    )
+    assert os.path.getmtime(m1) == t1 and os.path.getmtime(m2) == t2, (
+        "finished rounds were recomputed on resume"
+    )
+    assert os.path.exists(os.path.join(ck, "_manifest", "round-00003.json"))
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_pagerank_checkpoint_invalidates_on_input_change(
+    ray_session, tmp_path
+):
+    """Checkpoints from a DIFFERENT input are deleted, not resumed —
+    mixing round state across inputs would be silently wrong."""
+    import pandas as pd
+
+    from genie_ray.fixtures import write_triples_parquet
+    from genie_ray.pipelines.graph import pagerank_fixed
+
+    pa_ = os.path.join(str(tmp_path), "a.parquet")
+    pb = os.path.join(str(tmp_path), "b.parquet")
+    write_triples_parquet(pa_, n_triples=3_000, n_entities=500, n_docs=600)
+    write_triples_parquet(pb, n_triples=3_000, n_entities=500, n_docs=600,
+                          seed=7)
+    ck = os.path.join(str(tmp_path), "ck")
+    pagerank_fixed(pa_, iters=2, checkpoint_dir=ck).materialize()
+    got = (
+        pagerank_fixed(pb, iters=2, checkpoint_dir=ck)
+        .to_pandas().sort_values("ent_id").reset_index(drop=True)
+    )
+    want = (
+        pagerank_fixed(pb, iters=2)
+        .to_pandas().sort_values("ent_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_khop_checkpoint_resume_bit_identical(ray_session, tmp_path):
+    import pandas as pd
+
+    from genie_ray.fixtures import write_triples_parquet
+    from genie_ray.pipelines.graph import khop_reachable
+
+    path = os.path.join(str(tmp_path), "t.parquet")
+    write_triples_parquet(path, n_triples=5_000, n_entities=800, n_docs=1_000)
+    want = (
+        khop_reachable(path, k=3)
+        .to_pandas().sort_values("ent_id").reset_index(drop=True)
+    )
+    ck = os.path.join(str(tmp_path), "ck")
+    khop_reachable(path, k=2, checkpoint_dir=ck).materialize()
+    got = (
+        khop_reachable(path, k=3, checkpoint_dir=ck)
+        .to_pandas().sort_values("ent_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_pagerank_dangling_conserves_mass(ray_session, tmp_path):
+    """redistribute: total rank stays ~PR_SCALE (only integer-division
+    dust leaks); drop: a sink-heavy graph loses mass every round."""
+    rows = [
+        ("d1", "A", "p", "B", True),
+        ("d1", "A", "p", "C", True),
+        ("d1", "B", "p", "C", True),   # C is a sink
+    ]
+    path = _write_triples(tmp_path, rows)
+    from genie_ray.pipelines.graph import PR_SCALE, pagerank_fixed
+
+    drop = pagerank_fixed(path, iters=3).to_pandas()["rank"].sum()
+    redist = pagerank_fixed(
+        path, iters=3, dangling="redistribute"
+    ).to_pandas()["rank"].sum()
+    assert drop < 0.8 * PR_SCALE
+    assert redist > 0.95 * PR_SCALE

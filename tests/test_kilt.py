@@ -141,3 +141,19 @@ def test_annotation_round_trip(ray_session, kilt_path):
             assert row.answer == o["answer"]
         else:
             assert row.answer is None
+
+
+def test_seeded_shuffle_is_deterministic(ray_session):
+    """O6 (`datasets_pl.py:116-126`): the training loader's seeded epoch
+    shuffle — two runs with the same seed give the identical row ORDER;
+    a different seed gives a different order of the same row set."""
+    from genie_ray.golden import ensure_golden
+    from genie_ray.sources.kilt import read_kilt_examples
+
+    path = ensure_golden()["kilt"]
+    a = read_kilt_examples(path, shuffle_seed=7).to_pandas()["doc_id"].tolist()
+    b = read_kilt_examples(path, shuffle_seed=7).to_pandas()["doc_id"].tolist()
+    c = read_kilt_examples(path, shuffle_seed=8).to_pandas()["doc_id"].tolist()
+    assert a == b
+    assert sorted(a) == sorted(c)
+    assert a != c

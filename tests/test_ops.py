@@ -807,3 +807,47 @@ def test_pivot_counts_logs_out_of_domain_langs(ray_session, tmp_path, caplog):
     assert "xx" in caplog.text
     assert list(out.columns) == ["source", "n_de", "n_en", "n_es", "n_fr", "n_zh"]
     assert out.set_index("source").loc["web", "n_en"] == 1
+
+
+def test_pillow_decode_gate_without_pil(ray_session):
+    """In a codec-less environment PillowDecode fails LOUDLY at
+    construction (honest capability gate, HF-backend pattern)."""
+    from genie_ray.functions.multimodal import PillowDecode, pillow_available
+
+    if pillow_available():
+        pytest.skip("PIL present — covered by the real-path test")
+    with pytest.raises(ImportError, match="Pillow"):
+        PillowDecode()
+
+
+def test_pillow_decode_real_path(ray_session):
+    """Skipped-unless-PIL: with Pillow installed the real decoder is a
+    drop-in — decodes a generated PNG and emits mean-RGB features."""
+    from genie_ray.functions.multimodal import (
+        PillowDecode,
+        decode_features,
+        pillow_available,
+    )
+
+    if not pillow_available():
+        pytest.skip("no PIL in this environment")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 2), (255, 0, 0)).save(buf, format="PNG")
+    t = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "mime": pa.array(["image/png"], pa.string()),
+            "payload": pa.array([buf.getvalue()], pa.binary()),
+            "width": pa.array([4], pa.int32()),
+            "height": pa.array([2], pa.int32()),
+        }
+    )
+    out = decode_features(
+        ray.data.from_arrow(t), decoder="pillow", concurrency=1
+    ).to_pandas()
+    f = out["features"].iloc[0]
+    assert f[0] == 255.0 and f[1] == 0.0 and f[3] == 4.0 and f[4] == 2.0
