@@ -262,15 +262,51 @@ def status_counts(path: str) -> ray.data.Dataset:
 
 
 def annotate_kilt_examples(
-    ds: ray.data.Dataset, world_ref, allow_labels: bool = False
+    ds: ray.data.Dataset, world_ref, allow_labels: bool = False,
+    lookup_cache=None,
 ) -> ray.data.Dataset:
     """M11: the annotation pass that BUILDS a KILT split from id triples
     (`surface_forms_utils.py:181-232`): per-triple surface annotation,
     instance status = worst triple status, answer nulled on no_match.
-    Broadcast-world ``map_batches`` (one catalog fetch per process)."""
+    Broadcast-world ``map_batches`` (one catalog fetch per process).
+
+    ``lookup_cache`` (A4, `surface_forms_utils.py:310-404`): an optional
+    `state.lookup_cache.LookupCacheActor` handle — ids missing from the
+    broadcast catalogs are resolved through it in ONE batched RPC per
+    block (unique ids only) and folded into the process-local catalog
+    replica (the reference's ``update``), so repeat ids never leave the
+    process and the cluster pays each live fetch once."""
 
     def annotate(batch: pa.Table) -> pa.Table:
         world = get_world(world_ref)
+        if lookup_cache is not None:
+            import ray as _ray
+
+            miss_e, miss_r = set(), set()
+            for ids in batch["id_triples"].to_pylist():
+                for t in ids or []:
+                    if len(t) == 3:
+                        h, r, o = t
+                        if h not in world.entities.id2surface:
+                            miss_e.add(h)
+                        if o not in world.entities.id2surface:
+                            miss_e.add(o)
+                        if r not in world.relations.id2surface:
+                            miss_r.add(r)
+            for cat, miss in (
+                (world.entities, miss_e), (world.relations, miss_r)
+            ):
+                if not miss:
+                    continue
+                resolved = _ray.get(
+                    lookup_cache.resolve_many.remote(
+                        sorted(miss), allow_labels
+                    )
+                )
+                for _id, (surface, prov) in resolved.items():
+                    if surface is not None:  # reference update(), :343-369
+                        cat.id2surface[_id] = (surface, prov)
+                        cat.surface2id[surface] = _id
         o_status, o_answer, o_surface, o_tstat = [], [], [], []
         for ids in batch["id_triples"].to_pylist():
             statuses, surfaces = [], []

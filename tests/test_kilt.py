@@ -157,3 +157,76 @@ def test_seeded_shuffle_is_deterministic(ray_session):
     assert a == b
     assert sorted(a) == sorted(c)
     assert a != c
+
+
+def test_lookup_cache_fallback_resolves_misses(ray_session):
+    """A4: ids absent from the broadcast catalog resolve through the
+    shared memoization actor (offline fetcher injected — the network
+    fetch slot itself is closed-world); each unique id is fetched ONCE
+    cluster-wide, and en_label entries gate on allow_labels."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from genie_ray.core.world import World
+    from genie_ray.fixtures import make_catalogs
+    from genie_ray.sources.kilt import annotate_kilt_examples
+    from genie_ray.state.broadcast import put_world
+    from genie_ray.state.lookup_cache import LookupCacheActor, offline_fetcher
+
+    entities, relations = make_catalogs()
+    world = World.build(entities, relations)
+    world_ref = put_world(world)
+    ent0 = next(iter(world.entities.id2surface))
+    rel0 = next(iter(world.relations.id2surface))
+
+    fetch = offline_fetcher(
+        {
+            "QNEW1": ("Fresh Entity One", "en_title"),
+            "QNEW2": ("Fresh Label Two", "en_label"),
+        }
+    )
+    cache = LookupCacheActor.remote(fetch_fn=fetch)
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["d1", "d2", "d3"], pa.string()),
+                "id_triples": pa.array(
+                    [
+                        [[ "QNEW1", rel0, ent0]],   # live en_title hit
+                        [["QNEW2", rel0, ent0]],    # label: gated out
+                        [["QGONE", rel0, ent0]],    # unresolvable
+                    ],
+                    pa.list_(pa.list_(pa.string())),
+                ),
+            }
+        )
+    )
+    out = (
+        annotate_kilt_examples(ds, world_ref, lookup_cache=cache)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc["d1", "instance_matching_status"] == "title"
+    assert "Fresh Entity One" in out.loc["d1", "answer"]
+    assert out.loc["d2", "instance_matching_status"] == "no_match"
+    assert out.loc["d3", "instance_matching_status"] == "no_match"
+    stats = ray.get(cache.stats.remote())
+    assert stats["fetches"] >= 2
+    # second pass over the same ids: all resolved from memo (no growth)
+    annotate_kilt_examples(ds, world_ref, lookup_cache=cache).to_pandas()
+    stats2 = ray.get(cache.stats.remote())
+    assert stats2["size"] == stats["size"]
+
+
+def test_lookup_cache_default_is_closed_world(ray_session):
+    import ray
+
+    from genie_ray.state.lookup_cache import LookupCacheActor
+
+    cache = LookupCacheActor.remote()
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="closed-world"):
+        ray.get(cache.resolve_many.remote(["Q1"]))
