@@ -333,17 +333,67 @@ def pagerank_fixed(
         .groupby("bucket", num_partitions=max(1, num_buckets // 2))
         .map_groups(od_merge, batch_format="pyarrow")
         # coalesce: sort-based groupbys emit schema-less empty blocks for
-        # empty partitions, which Arrow's hash join rejects (same note as
-        # functions/dedup.py verify join)
+        # empty partitions (same note as functions/dedup.py verify join)
         .repartition(num_partitions)
+        # materialized: consumed by BOTH the e_od build and (in
+        # redistribute mode) the od-annotated rank init — re-consuming a
+        # lazy wide output is the known re-execution hazard
+        .materialize()
     )
-    join_args = {
-        "num_partitions": num_partitions,
-        "aggregator_ray_remote_args": {"num_cpus": 0.25},
-    }
+    # edges ⋈ out-degree, ONCE, via the bucketed-groupby hash join (the
+    # repo's measured-fast exchange — a JoinOperator pays ~2 s/round in
+    # per-partition fixed cost at this scale, bench.py sizing note). The
+    # result stays keyed by jbucket = hash(src) so every round's
+    # edges⋈ranks co-location reuses the same bucket assignment.
+    import polars as pl
+
+    def eod_rows(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {"src": t["src"], "dst": t["dst"],
+             "od": pa.nulls(len(t), pa.int64())}
+        )
+        return out.append_column("jbucket", _row_bucket(out, ["src"], mask))
+
+    def odj_rows(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {"src": t["src"], "dst": pa.nulls(len(t), pa.string()),
+             "od": t["od"]}
+        )
+        return out.append_column("jbucket", _row_bucket(out, ["src"], mask))
+
+    def eod_merge(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"src": pa.array([], pa.string()),
+             "dst": pa.array([], pa.string()),
+             "od": pa.array([], pa.int64()),
+             "jbucket": pa.array([], pa.int32())}
+        )
+        if len(g) == 0:
+            return empty
+        df = pl.from_arrow(g.drop_columns(["jbucket"]))
+        e_ = df.filter(pl.col("od").is_null()).select(["src", "dst"])
+        o_ = df.filter(pl.col("od").is_not_null()).select(["src", "od"])
+        j = e_.join(o_, on="src", how="inner").to_arrow()
+        if j.num_rows == 0:
+            return empty
+        out = pa.table(
+            {"src": j["src"].cast(pa.string()),
+             "dst": j["dst"].cast(pa.string()),
+             "od": j["od"].cast(pa.int64())}
+        )
+        return out.append_column("jbucket", _row_bucket(out, ["src"], mask))
+
     e_od = (
-        e.join(od, "inner", on=("src",), **join_args)
-        .repartition(num_partitions)  # joins emit schema-less empty blocks
+        e.map_batches(eod_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(od.map_batches(odj_rows, batch_format="pyarrow"))
+        .groupby("jbucket", num_partitions=max(1, num_buckets // 2))
+        .map_groups(eod_merge, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "rank", pa.nulls(len(t), pa.int64())
+            ).select(["src", "dst", "od", "rank", "jbucket"]),
+            batch_format="pyarrow",
+        )
         .materialize()
     )
 
@@ -406,20 +456,39 @@ def pagerank_fixed(
         zero_rows, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    def contrib(t: pa.Table) -> pa.Table:
-        c = (
-            t["rank"].combine_chunks().to_numpy(zero_copy_only=False)
-            // t["od"].combine_chunks().to_numpy(zero_copy_only=False)
+    def contrib_join(g: pa.Table) -> pa.Table:
+        """One jbucket: polars-join the bucket's edges against its ranks
+        on src, emit per-dst partial contribution sums (still int64
+        floor-div — bit-identical to the oracle recurrence)."""
+        cols = {"ent": pa.array([], pa.string()),
+                "s_p": pa.array([], pa.int64())}
+        if dangling == "redistribute":
+            cols["od"] = pa.array([], pa.int64())
+        cols["bucket"] = pa.array([], pa.int32())
+        empty = pa.table(cols)
+        if len(g) == 0:
+            return empty
+        df = pl.from_arrow(g.drop_columns(["jbucket"]))
+        edges_ = df.filter(pl.col("rank").is_null()).select(
+            ["src", "dst", "od"]
         )
-        g = (
-            pa.table({"ent": t["dst"], "s_p": pa.array(c, pa.int64())})
-            .group_by("ent")
-            .aggregate([("s_p", "sum")])
-            .rename_columns(["ent", "s_p"])
+        rk = df.filter(pl.col("rank").is_not_null()).select(["src", "rank"])
+        j = (
+            edges_.join(rk, on="src", how="inner")
+            .with_columns(s_p=pl.col("rank") // pl.col("od"))
+            .group_by("dst")
+            .agg(pl.col("s_p").sum())
+            .to_arrow()
+        )
+        if j.num_rows == 0:
+            return empty
+        out = pa.table(
+            {"ent": j["dst"].cast(pa.string()),
+             "s_p": j["s_p"].cast(pa.int64())}
         )
         if dangling == "redistribute":  # od rides only on the zeros rows
-            g = g.append_column("od", pa.nulls(len(g), pa.int64()))
-        return g.append_column("bucket", _row_bucket(g, ["ent"], mask))
+            out = out.append_column("od", pa.nulls(len(out), pa.int64()))
+        return out.append_column("bucket", _row_bucket(out, ["ent"], mask))
 
     def make_update(share: int):
         def update(t: pa.Table) -> pa.Table:
@@ -473,19 +542,26 @@ def pagerank_fixed(
                 .materialize()
             )
 
+    def rank_rows(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {"src": t["ent"],
+             "dst": pa.nulls(len(t), pa.string()),
+             "od": pa.nulls(len(t), pa.int64()),
+             "rank": t["rank"]}
+        )
+        return out.append_column("jbucket", _row_bucket(out, ["src"], mask))
+
     for k in range(start + 1, iters + 1):
         share = (
             dangling_mass(ranks) // n if dangling == "redistribute" else 0
         )
-        sums = e_od.join(
-            ranks.map_batches(
-                lambda t: pa.table({"src": t["ent"], "rank": t["rank"]}),
-                batch_format="pyarrow",
-            ),
-            "inner",
-            on=("src",),
-            **join_args,
-        ).map_batches(contrib, batch_format="pyarrow")
+        sums = (
+            e_od.union(
+                ranks.map_batches(rank_rows, batch_format="pyarrow")
+            )
+            .groupby("jbucket", num_partitions=max(1, num_buckets // 2))
+            .map_groups(contrib_join, batch_format="pyarrow")
+        )
         ranks = (
             sums.union(zeros)
             .groupby("bucket", num_partitions=max(1, num_buckets // 2))
@@ -557,10 +633,55 @@ def khop_reachable(
     labels = seeds.map_batches(
         init_labels, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    join_args = {
-        "num_partitions": num_partitions,
-        "aggregator_ray_remote_args": {"num_cpus": 0.25},
-    }
+    import polars as pl
+
+    # edges tagged by jbucket = hash(src), ONCE — every round's
+    # edges⋈labels co-location is a bucketed groupby, not a JoinOperator
+    # (same exchange swap as pagerank_fixed; ~2 s/round fixed cost saved)
+    def e_rows(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {"src": t["src"], "dst": t["dst"],
+             "hops": pa.nulls(len(t), pa.int64())}
+        )
+        return out.append_column("jbucket", _row_bucket(out, ["src"], mask))
+
+    e_b = e.map_batches(
+        e_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {"src": t["ent"], "dst": pa.nulls(len(t), pa.string()),
+             "hops": t["hops"]}
+        )
+        return out.append_column("jbucket", _row_bucket(out, ["src"], mask))
+
+    def nbr_join(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"ent": pa.array([], pa.string()),
+             "hops": pa.array([], pa.int64()),
+             "bucket": pa.array([], pa.int32())}
+        )
+        if len(g) == 0:
+            return empty
+        df = pl.from_arrow(g.drop_columns(["jbucket"]))
+        edges_ = df.filter(pl.col("hops").is_null()).select(["src", "dst"])
+        lab = df.filter(pl.col("hops").is_not_null()).select(
+            ["src", "hops"]
+        )
+        j = (
+            edges_.join(lab, on="src", how="inner")
+            .group_by("dst")
+            .agg(pl.col("hops").min() + 1)
+            .to_arrow()
+        )
+        if j.num_rows == 0:
+            return empty
+        out = pa.table(
+            {"ent": j["dst"].cast(pa.string()),
+             "hops": j["hops"].cast(pa.int64())}
+        )
+        return out.append_column("bucket", _row_bucket(out, ["ent"], mask))
 
     def bucketed(t: pa.Table) -> pa.Table:
         return t.append_column("bucket", _row_bucket(t, ["ent"], mask))
@@ -594,26 +715,19 @@ def khop_reachable(
             )
 
     for rnd in range(start + 1, k + 1):
-        nbr = e.join(
-            labels.map_batches(
-                lambda t: t.rename_columns(["src", "hops"]),
-                batch_format="pyarrow",
-            ),
-            "inner",
-            on=("src",),
-            **join_args,
-        ).map_batches(
-            lambda t: pa.table(
-                {"ent": t["dst"], "hops": pc.add(t["hops"], 1)}
-            ),
-            batch_format="pyarrow",
+        nbr = (
+            e_b.union(
+                labels.map_batches(label_rows, batch_format="pyarrow")
+            )
+            .groupby("jbucket", num_partitions=max(1, num_buckets // 2))
+            .map_groups(nbr_join, batch_format="pyarrow")
         )
         labels = (
-            labels.union(nbr)
-            .map_batches(bucketed, batch_format="pyarrow")
+            labels.map_batches(bucketed, batch_format="pyarrow")
+            .union(nbr)
             .groupby("bucket", num_partitions=max(1, num_buckets // 2))
             .map_groups(fold_min, batch_format="pyarrow")
-            .repartition(num_partitions)  # join input: no empty-schema blocks
+            .repartition(num_partitions)  # no empty-schema blocks onward
             .materialize()
         )
         if checkpoint_dir:
