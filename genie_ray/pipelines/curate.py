@@ -208,11 +208,15 @@ def droplist_transform(
         return exact_drop
 
     # near-dup cluster losers: ids are int64 here, the cluster ops key on
-    # strings — route through a stable decimal encoding and back
+    # strings and pick the LEXICOGRAPHIC min as the cluster keeper —
+    # zero-pad to 20 digits so lexicographic order == numeric order and
+    # the keeper is the true min id (int64 max is 19 digits)
     docs = clean.map_batches(
         lambda t: pa.table(
             {
-                "doc_id": pc.cast(t["doc_id"], pa.string()),
+                "doc_id": pc.utf8_lpad(
+                    pc.cast(t["doc_id"], pa.string()), 20, "0"
+                ),
                 "text": t["text"],
             }
         ),
