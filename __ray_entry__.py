@@ -1229,6 +1229,43 @@ def _q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "mime", "payload_sha256"])
 
 
+def _q_media_resize(sf_dir: str):
+    """Multimodal resize stage: aspect-preserving integer box-fit target
+    sizes (never upscale) + payload sha through the actor pool; the
+    pixel resample is the documented codec stub. Oracle: the same
+    integer math in SQL over the golden media table."""
+    import ray.data
+
+    from genie_ray.functions.multimodal import resize_media
+
+    media = ray.data.read_parquet(
+        _golden()["media"],
+        columns=["media_id", "mime", "payload", "width", "height"],
+    )
+    return resize_media(media, box=256).select_columns(
+        ["media_id", "mime", "payload_sha256", "width", "height",
+         "out_w", "out_h"]
+    )
+
+
+def _q_media_frames(sf_dir: str):
+    """Multimodal frame sampling: video-like payloads exploded to one
+    row per evenly-sampled fixed-size frame (offsets/lengths pure
+    integer math — the demuxer is the codec stub); per-frame sha256 is
+    hashlib-checked in the unit test, the SQL oracle checks the
+    explosion geometry."""
+    import ray.data
+
+    from genie_ray.functions.multimodal import sample_frames
+
+    media = ray.data.read_parquet(
+        _golden()["media"], columns=["media_id", "payload"]
+    )
+    return sample_frames(media, frame_bytes=1024, k=4).select_columns(
+        ["media_id", "frame_idx", "byte_offset", "byte_len"]
+    )
+
+
 def _q_near_dup_cosine(sf_dir: str):
     import os
 
@@ -1338,6 +1375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drop_boilerplate": _q_drop_boilerplate,
         # multimodal plumbing
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
         # similarity search
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -2024,6 +2063,28 @@ def oracle_sql() -> dict[str, str]:
         "media_features": (
             "SELECT media_id, mime, payload_sha256 "
             f"FROM read_parquet('{paths['media']}')"
+        ),
+        "media_resize": (
+            "SELECT media_id, mime, payload_sha256, width, height, "
+            "CASE WHEN greatest(greatest(width, height), 1) <= 256 "
+            "  THEN width::BIGINT ELSE greatest((width::BIGINT * 256) "
+            "  // greatest(greatest(width, height), 1), 1) END AS out_w, "
+            "CASE WHEN greatest(greatest(width, height), 1) <= 256 "
+            "  THEN height::BIGINT ELSE greatest((height::BIGINT * 256) "
+            "  // greatest(greatest(width, height), 1), 1) END AS out_h "
+            f"FROM read_parquet('{paths['media']}')"
+        ),
+        "media_frames": (
+            "WITH m AS (SELECT media_id, "
+            "  octet_length(payload)::BIGINT // 1024 AS n "
+            f"  FROM read_parquet('{paths['media']}')), "
+            "i AS (SELECT media_id, n, unnest(generate_series(0, 3)) AS i "
+            "  FROM m WHERE n > 0), "
+            "p AS (SELECT DISTINCT media_id, "
+            "  CASE WHEN n = 1 THEN 0 ELSE i * (n - 1) // 3 END "
+            "  AS frame_idx FROM i) "
+            "SELECT media_id, frame_idx, frame_idx * 1024 AS byte_offset, "
+            "1024::BIGINT AS byte_len FROM p"
         ),
         "kg_beams": (
             "SELECT doc_id, beam_rank, prediction, log_prob "

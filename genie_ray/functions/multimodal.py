@@ -181,3 +181,112 @@ def pillow_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+class ResizeStub:
+    """Actor-pool resize stage (metadata-exact, codec-stubbed): computes
+    the aspect-preserving box-fit target size with PURE INTEGER math —
+    ``scale to fit box×box, never upscale`` — so the result is
+    SQL-oracle-able; the pixel resample itself is the stubbed codec
+    boundary (a real deployment decodes + resamples here, loaded once
+    per actor). Emits the payload sha256 so the binary column's
+    integrity is verified through the stage. Output: (media_id, mime,
+    payload_sha256, width, height, out_w, out_h)."""
+
+    def __init__(self, box: int = 256):
+        self.box = box
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        long_side = np.maximum(np.maximum(w, h), 1)
+        # floor-div box-fit; no upscale (scale capped at 1 ⇔ long ≤ box)
+        out_w = np.where(long_side <= self.box, w,
+                         np.maximum(w * self.box // long_side, 1))
+        out_h = np.where(long_side <= self.box, h,
+                         np.maximum(h * self.box // long_side, 1))
+        shas = [
+            hashlib.sha256(p).hexdigest()
+            for p in batch["payload"].to_pylist()
+        ]
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("payload_sha256", pa.array(shas, pa.string()))
+        out = out.append_column("out_w", pa.array(out_w, pa.int64()))
+        return out.append_column("out_h", pa.array(out_h, pa.int64()))
+
+
+class FrameSample:
+    """Actor-pool frame-sampling stage for video-like payloads: the
+    payload is treated as ``n_frames = octet_length // frame_bytes``
+    fixed-size frames (the codec-free stand-in for a real demuxer —
+    which would replace exactly this arithmetic, loaded once per
+    actor); ``k`` frames are sampled at evenly spaced indices
+    ``i·(n−1)//(k−1)`` (deduped, pure integers). One output ROW PER
+    SAMPLED FRAME (the flat_map explosion a downstream encoder
+    consumes): (media_id, frame_idx, byte_offset, byte_len,
+    frame_sha256). Offsets/lengths are SQL-oracle-able; the per-frame
+    sha256 is verified against hashlib in the unit test."""
+
+    def __init__(self, frame_bytes: int = 1024, k: int = 4):
+        self.frame_bytes = frame_bytes
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, offs, lens, shas = [], [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            n = len(payload) // self.frame_bytes
+            if n == 0:
+                continue
+            if self.k == 1 or n == 1:
+                picks = [0]
+            else:
+                picks = sorted(
+                    {i * (n - 1) // (self.k - 1) for i in range(self.k)}
+                )
+            for f in picks:
+                off = f * self.frame_bytes
+                ids.append(mid)
+                idxs.append(f)
+                offs.append(off)
+                lens.append(self.frame_bytes)
+                shas.append(
+                    hashlib.sha256(
+                        payload[off:off + self.frame_bytes]
+                    ).hexdigest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "byte_offset": pa.array(offs, pa.int64()),
+                "byte_len": pa.array(lens, pa.int64()),
+                "frame_sha256": pa.array(shas, pa.string()),
+            }
+        )
+
+
+def resize_media(
+    ds: ray.data.Dataset, box: int = 256, concurrency: int = 2,
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ResizeStub, fn_constructor_kwargs={"box": box},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(
+    ds: ray.data.Dataset, frame_bytes: int = 1024, k: int = 4,
+    concurrency: int = 2, batch_size: int = 16,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"frame_bytes": frame_bytes, "k": k},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -851,3 +851,58 @@ def test_pillow_decode_real_path(ray_session):
     ).to_pandas()
     f = out["features"].iloc[0]
     assert f[0] == 255.0 and f[1] == 0.0 and f[3] == 4.0 and f[4] == 2.0
+
+
+def test_frame_sample_shas_and_edges(ray_session):
+    """FrameSample: per-frame sha256 matches hashlib over the exact byte
+    slices; payloads shorter than one frame emit nothing; single-frame
+    payloads emit frame 0 once."""
+    import hashlib as _hl
+
+    from genie_ray.functions.multimodal import sample_frames
+
+    payloads = [bytes(range(256)) * 16,   # 4096 B -> 4 frames
+                b"x" * 1024,              # 1 frame
+                b"y" * 100]               # sub-frame: dropped
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = (
+        sample_frames(ray.data.from_arrow(t), frame_bytes=1024, k=4,
+                      concurrency=1)
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    assert out[out["media_id"] == 0]["frame_idx"].tolist() == [0, 1, 2, 3]
+    assert out[out["media_id"] == 1]["frame_idx"].tolist() == [0]
+    assert 2 not in set(out["media_id"])
+    for r in out.itertuples():
+        want = _hl.sha256(
+            payloads[r.media_id][r.byte_offset:r.byte_offset + r.byte_len]
+        ).hexdigest()
+        assert r.frame_sha256 == want
+
+
+def test_resize_stub_never_upscales_and_floors_at_one(ray_session):
+    from genie_ray.functions.multimodal import resize_media
+
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], pa.int64()),
+            "mime": pa.array(["image/png"] * 3, pa.string()),
+            "payload": pa.array([b"a", b"b", b"c"], pa.binary()),
+            "width": pa.array([100, 5000, 1], pa.int32()),
+            "height": pa.array([50, 2, 4000], pa.int32()),
+        }
+    )
+    out = (
+        resize_media(ray.data.from_arrow(t), box=256, concurrency=1)
+        .to_pandas().set_index("media_id")
+    )
+    assert (out.loc[0, "out_w"], out.loc[0, "out_h"]) == (100, 50)  # no upscale
+    assert (out.loc[1, "out_w"], out.loc[1, "out_h"]) == (256, 1)   # floor ≥ 1
+    assert (out.loc[2, "out_w"], out.loc[2, "out_h"]) == (1, 256)
