@@ -337,77 +337,14 @@ def _anti_join_ids(
     id_col: str = "doc_id",
     num_buckets: int = 16,
 ) -> ray.data.Dataset:
-    """Rows of ``ds`` whose ``id_col`` does NOT appear in ``drop`` — a
-    bucketed hash anti-join: both sides keyed by splitmix64(id), one
-    bounded exchange, per-bucket polars ``join(how="anti")``. The drop
+    """Rows of ``ds`` whose ``id_col`` does NOT appear in ``drop`` — the
+    shared bucketed membership exchange (`stages/exchange.py`). The drop
     side is ids only; ``ds`` text bytes cross the exchange once (this is
     the pipeline's single full-corpus shuffle)."""
-    import polars as pl
+    from ..stages.exchange import bucketed_membership_join
 
-    mask = num_buckets - 1
-
-    def tag(flag: int):
-        def f(t: pa.Table) -> pa.Table:
-            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-            b = (splitmix64(ids) & np.uint64(mask)).astype(np.int32)
-            out = t if flag == 0 else pa.table({id_col: t[id_col]})
-            out = out.append_column("bucket", pa.array(b, pa.int32()))
-            return out.append_column(
-                "_drop", pa.array(np.full(len(t), flag, np.int8))
-            )
-
-        return f
-
-    # union needs one schema: drop rows get typed nulls for data columns
-    schema = ds.schema()
-    all_types = dict(zip(schema.names, schema.types))
-    data_cols = [c for c in schema.names if c != id_col]
-    types = {c: all_types[c] for c in data_cols}
-
-    def widen(t: pa.Table) -> pa.Table:
-        for c in data_cols:
-            t = t.append_column(c, pa.nulls(len(t), types[c]))
-        return t.select(
-            [id_col] + data_cols + ["bucket", "_drop"]
-        )
-
-    left = ds.map_batches(
-        tag(0), batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(
-        lambda t: t.select([id_col] + data_cols + ["bucket", "_drop"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    right = drop.map_batches(
-        tag(1), batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
-
-    def anti(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                id_col: pa.array([], pa.int64()),
-                **{c: pa.array([], types[c]) for c in data_cols},
-            }
-        )
-        if len(g) == 0:
-            return empty
-        df = pl.from_arrow(g.drop_columns(["bucket"]))
-        keep = df.filter(pl.col("_drop") == 0).drop("_drop")
-        drop_ids = df.filter(pl.col("_drop") == 1).select(id_col)
-        out = keep.join(drop_ids, on=id_col, how="anti").to_arrow()
-        if out.num_rows == 0:
-            return empty
-        return pa.table(
-            {
-                id_col: out[id_col].cast(pa.int64()),
-                **{c: out[c].cast(types[c]) for c in data_cols},
-            }
-        )
-
-    return (
-        left.union(right)
-        .groupby("bucket", num_partitions=max(1, num_buckets // 2))
-        .map_groups(anti, batch_format="pyarrow")
+    return bucketed_membership_join(
+        ds, drop, id_col, id_col, how="anti", num_buckets=num_buckets
     )
 
 

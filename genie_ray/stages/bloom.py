@@ -129,12 +129,15 @@ def bloom_semi_join(
     )
     # hash-shuffle cost tracks block count — coalesce the pruned side
     survivors = survivors.repartition(max(2, num_partitions // 2))
-    keys = keys.repartition(max(2, num_partitions // 2))
+    # verify: bucketed membership semi join (stages/exchange.py) — the
+    # JoinOperator at this shape paid ~2 s of fixed aggregator cost and
+    # a duplicate keys read; semi filtering also drops the
+    # keys_unique distinct requirement (a semi join can't multiply rows)
     fact_cols = [c for c in facts.schema().names]
-    joined = survivors.join(
-        keys, join_type="inner", num_partitions=num_partitions,
-        on=(fact_key_col,), right_on=(key_col,),
-    )
-    return joined.map_batches(
-        lambda t: t.select(fact_cols), batch_format="pyarrow"
-    )
+    from .exchange import bucketed_membership_join
+
+    nb = 1 << max(1, (num_partitions - 1).bit_length())  # next 2^k
+    return bucketed_membership_join(
+        survivors, keys, fact_key_col, key_col, how="semi",
+        num_buckets=nb,
+    ).map_batches(lambda t: t.select(fact_cols), batch_format="pyarrow")
