@@ -854,23 +854,64 @@ def duplicate_clusters(
         return int(s) if s is not None else 0
 
     prev = checksum(labels)
-    join_args = {
-        "num_partitions": num_partitions,
-        "aggregator_ray_remote_args": {"num_cpus": 0.25},
-    }
+    # per-round edges⋈labels co-location as the bucketed-groupby polars
+    # join (same exchange swap as pagerank/khop — a JoinOperator pays
+    # ~2 s/round fixed aggregator cost); edges tagged by hash(dst) ONCE
+    nb = 1 << max(2, (num_partitions - 1).bit_length())  # 2^k buckets
+    bmask = nb - 1
+
+    def _jb(t: pa.Table, col: str) -> pa.Array:
+        h = pl.from_arrow(t.select([col]))[col].hash(seed=11).to_numpy()
+        return pa.array((h & np.uint64(bmask)).astype(np.int32), pa.int32())
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {"dst": t["dst"], "src": t["src"],
+             "label": pa.nulls(len(t), t["src"].type)}
+        )
+        return out.append_column("jbucket", _jb(out, "dst"))
+
+    edges_b = edges.map_batches(
+        edge_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {"dst": t["node"], "src": pa.nulls(len(t), t["node"].type),
+             "label": t["label"]}
+        )
+        return out.append_column("jbucket", _jb(out, "dst"))
+
+    def nbr_join(g: pa.Table) -> pa.Table:
+        empty = pa.table({"node": pa.array([], id_type),
+                          "label": pa.array([], id_type)})
+        if len(g) == 0:
+            return empty
+        df = pl.from_arrow(g.drop_columns(["jbucket"]))
+        e_ = df.filter(pl.col("label").is_null()).select(["dst", "src"])
+        lab = df.filter(pl.col("label").is_not_null()).select(
+            ["dst", "label"]
+        )
+        j = (
+            e_.join(lab, on="dst", how="inner")
+            .group_by("src")
+            .agg(pl.col("label").min())
+            .to_arrow()
+        )
+        if j.num_rows == 0:
+            return empty
+        return pa.table(
+            {"node": j["src"].cast(id_type),
+             "label": j["label"].cast(id_type)}
+        )
+
     for _ in range(max_iters):
-        nbr = edges.join(
-            labels.map_batches(
-                lambda t: t.rename_columns(["dst", "label"]),
-                batch_format="pyarrow",
-            ),
-            "inner",
-            on=("dst",),
-            **join_args,
-        ).map_batches(
-            lambda t: pa.table({"node": t["src"], "label": t["label"]}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+        nbr = (
+            edges_b.union(
+                labels.map_batches(label_rows, batch_format="pyarrow")
+            )
+            .groupby("jbucket", num_partitions=max(1, nb // 2))
+            .map_groups(nbr_join, batch_format="pyarrow")
         )
         labels = (
             labels.union(nbr)
