@@ -464,23 +464,26 @@ def verify_jaccard_pairs(
 
         return pairs.map_batches(judge_bcast, batch_format="pyarrow")
 
-    join_args = {
-        "num_partitions": num_partitions,
-        "aggregator_ray_remote_args": {"num_cpus": 0.25},
-    }
     # big side: ONE pruned docs scan + shingle pass, materialized
-    # (candidate docs only), feeds both join sides via a rename;
-    # pairs ⋈ shingles on id_a, then on id_b. The materialize() between
-    # the joins is the two-live-hash-joins deadlock guard (see
-    # q5_region_revenue) — a join is a shuffle barrier anyway.
+    # (candidate docs only), feeds both attach sides via a rename;
+    # pairs gain blobs on id_a then on id_b through the shared bucketed
+    # lookup exchange (stages/exchange.py) — no JoinOperators, so the
+    # two-live-hash-joins deadlock guard materialize() is unnecessary
+    from ..stages.exchange import bucketed_lookup_join
+
+    nb = 1 << max(2, (num_partitions - 1).bit_length())  # next 2^k
     sh_a = docs.map_batches(shingle_rows, batch_format="pyarrow").materialize()
     sh_b = sh_a.map_batches(
         lambda t: t.rename_columns(["id_b", "hashes_b"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    with_a = pairs.join(sh_a, "inner", on=("id_a",), **join_args).materialize()
-    both = with_a.join(sh_b, "inner", on=("id_b",), **join_args)
+    with_a = bucketed_lookup_join(
+        pairs, sh_a, "id_a", "id_a", how="inner", num_buckets=nb
+    )
+    both = bucketed_lookup_join(
+        with_a, sh_b, "id_b", "id_b", how="inner", num_buckets=nb
+    )
 
     def judge(t: pa.Table) -> pa.Table:
         return judge_table(

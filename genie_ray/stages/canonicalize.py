@@ -215,16 +215,26 @@ def canonicalize_via_join(
                 "1:1 joins. Dedup the catalog (prune_duplicate_titles) "
                 "first."
             )
-    join_args = {
-        "num_partitions": num_partitions,
-        "aggregator_ray_remote_args": {"num_cpus": 0.25},
-    }
+    # three chained LEFT lookup exchanges through the shared
+    # bucketed-groupby join (stages/exchange.py): the 1:1 contract is
+    # asserted above, sort-groupby exchanges hold no aggregator pools so
+    # the q5-style materialize() deadlock barriers between chained
+    # JoinOperators are no longer needed
+    from .exchange import bucketed_lookup_join
+
+    nb = 1 << max(2, (num_partitions - 1).bit_length())  # next 2^k
     ent_s = _catalog_side(catalog, "e", "subj", "subj_id", "_subj_prov")
     rel_p = _catalog_side(catalog, "r", "pred", "pred_id", "_pred_prov")
     ent_o = _catalog_side(catalog, "e", "obj", "obj_id", "_obj_prov")
-    out = triples.join(ent_s, "left_outer", on=("subj",), **join_args).materialize()
-    out = out.join(rel_p, "left_outer", on=("pred",), **join_args).materialize()
-    out = out.join(ent_o, "left_outer", on=("obj",), **join_args)
+    out = bucketed_lookup_join(
+        triples, ent_s, "subj", "subj", how="left", num_buckets=nb
+    )
+    out = bucketed_lookup_join(
+        out, rel_p, "pred", "pred", how="left", num_buckets=nb
+    )
+    out = bucketed_lookup_join(
+        out, ent_o, "obj", "obj", how="left", num_buckets=nb
+    )
     return out.map_batches(
         _finalize_canonical, batch_format="pyarrow", zero_copy_batch=True
     )
