@@ -120,26 +120,29 @@ def clean_transform(
             lang_col = t["lang"]
         keep = pc.is_in(lang_col, value_set=lang_arr)
         t = t.filter(keep)
+        # staged predicate, cheap→expensive: each stage only pays its
+        # kernel for rows the cheaper stages kept (the conjunction is
+        # order-independent, so semantics — and the SQL oracle — are
+        # unchanged; the repetition kernel is the costly one)
+        n_chars = pc.cast(
+            pc.fill_null(pc.utf8_length(t["text"]), 0), pa.int64()
+        )
+        t = t.filter(pc.greater_equal(n_chars, cfg.min_chars))
         q = quality_score_batch(t)
+        q = q.filter(
+            pc.greater_equal(q["stopword_ratio"], cfg.min_stopword_ratio)
+        )
         r = repetition_score_batch(q)
         ok = pc.and_(
             pc.and_(
-                pc.greater_equal(r["n_chars_q"], cfg.min_chars),
-                pc.greater_equal(
-                    r["stopword_ratio"], cfg.min_stopword_ratio
+                pc.less_equal(
+                    r["top_bigram_frac"], cfg.max_top_bigram_frac
+                ),
+                pc.less_equal(
+                    r["dup_trigram_frac"], cfg.max_dup_trigram_frac
                 ),
             ),
-            pc.and_(
-                pc.and_(
-                    pc.less_equal(
-                        r["top_bigram_frac"], cfg.max_top_bigram_frac
-                    ),
-                    pc.less_equal(
-                        r["dup_trigram_frac"], cfg.max_dup_trigram_frac
-                    ),
-                ),
-                pc.less_equal(r["dup_line_frac"], cfg.max_dup_line_frac),
-            ),
+            pc.less_equal(r["dup_line_frac"], cfg.max_dup_line_frac),
         )
         kept = r.filter(ok).select(["doc_id", "text", "source", "lang"])
         ids = kept["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
