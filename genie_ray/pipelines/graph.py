@@ -928,24 +928,45 @@ def negative_samples(
 
     cands = g.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
 
-    # anti-join: drop corrupted triples that are actually true positives
-    marked = g.map_batches(
-        lambda t: t.append_column(
-            "hit", pa.array(np.ones(len(t), np.int8))
+    # anti-join: drop corrupted triples that are actually true positives.
+    # The 3-column key rides as one composite string (US-separator — ids
+    # never contain control bytes) through the shared bucketed
+    # membership exchange (stages/exchange.py) instead of a left_outer
+    # JoinOperator + null filter.
+    _SEP = "\x1f"
+
+    def cand_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "nkey",
+            pc.binary_join_element_wise(
+                t["subj_id"], t["pred_id"], t["neg_obj_id"], _SEP
+            ),
+        )
+
+    def pos_key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nkey": pc.binary_join_element_wise(
+                    t["subj_id"], t["pred_id"], t["obj_id"], _SEP
+                )
+            }
+        )
+
+    from ..stages.exchange import bucketed_membership_join
+
+    nb = 1 << max(2, (num_partitions - 1).bit_length())  # next 2^k
+    kept = bucketed_membership_join(
+        cands.map_batches(
+            cand_key, batch_format="pyarrow", zero_copy_batch=True
         ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        g.map_batches(pos_key, batch_format="pyarrow", zero_copy_batch=True),
+        "nkey",
+        "nkey",
+        how="anti",
+        num_buckets=nb,
     )
-    joined = cands.join(
-        marked,
-        "left_outer",
-        num_partitions=num_partitions,
-        on=("subj_id", "pred_id", "neg_obj_id"),
-        right_on=("subj_id", "pred_id", "obj_id"),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
-    )
-    return joined.map_batches(
-        lambda t: t.filter(pc.is_null(t["hit"])).select(
+    return kept.map_batches(
+        lambda t: t.select(
             ["subj_id", "pred_id", "neg_obj_id", "sample_i"]
         ),
         batch_format="pyarrow",
