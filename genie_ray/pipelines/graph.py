@@ -1068,23 +1068,60 @@ def relation_paths2(
             b = g.map_batches(
                 project_prune("subj_id", "pred_b"), batch_format="pyarrow"
             )
-    joined = a.join(
-        b,
-        "inner",
-        num_partitions=num_partitions,
-        on=("mid",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
-    )
+    # mid-entity self-join THROUGH the bucketed-groupby exchange, with
+    # the (pred_a, pred_b) count partial fused INSIDE the bucket kernel:
+    # the i·o join product never materializes as rows — each bucket
+    # emits at most |relations|² partial counts (JoinOperator version
+    # paid ~2 s fixed cost AND shipped every path instance)
+    import polars as pl
+
     mask = num_buckets - 1
 
-    def partial(t: pa.Table) -> pa.Table:
-        p = (
-            t.group_by(["pred_a", "pred_b"])
-            .aggregate([("mid", "count")])
-            .rename_columns(["pred_a", "pred_b", "n_p"])
+    def a_rows(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {"mid": t["mid"], "pred_a": t["pred_a"],
+             "pred_b": pa.nulls(len(t), pa.string())}
         )
-        return p.append_column(
-            "bucket", _row_bucket(p, ["pred_a", "pred_b"], mask)
+        return out.append_column("jbucket", _row_bucket(out, ["mid"], mask))
+
+    def b_rows(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {"mid": t["mid"], "pred_a": pa.nulls(len(t), pa.string()),
+             "pred_b": t["pred_b"]}
+        )
+        return out.append_column("jbucket", _row_bucket(out, ["mid"], mask))
+
+    def join_count(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pred_a": pa.array([], pa.string()),
+             "pred_b": pa.array([], pa.string()),
+             "n_p": pa.array([], pa.int64()),
+             "bucket": pa.array([], pa.int32())}
+        )
+        if len(g) == 0:
+            return empty
+        df = pl.from_arrow(g.drop_columns(["jbucket"]))
+        a_ = df.filter(pl.col("pred_a").is_not_null()).select(
+            ["mid", "pred_a"]
+        )
+        b_ = df.filter(pl.col("pred_b").is_not_null()).select(
+            ["mid", "pred_b"]
+        )
+        j = (
+            a_.join(b_, on="mid", how="inner")
+            .group_by(["pred_a", "pred_b"])
+            .len(name="n_p")
+            .to_arrow()
+        )
+        if j.num_rows == 0:
+            return empty
+        out = pa.table(
+            {"pred_a": j["pred_a"].cast(pa.string()),
+             "pred_b": j["pred_b"].cast(pa.string()),
+             "n_p": j["n_p"].cast(pa.int64())}
+        )
+        return out.append_column(
+            "bucket", _row_bucket(out, ["pred_a", "pred_b"], mask)
         )
 
     def merge(t: pa.Table) -> pa.Table:
@@ -1096,7 +1133,14 @@ def relation_paths2(
         )
 
     return (
-        joined.map_batches(partial, batch_format="pyarrow")
+        a.map_batches(a_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            b.map_batches(
+                b_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("jbucket", num_partitions=max(1, num_buckets // 2))
+        .map_groups(join_count, batch_format="pyarrow")
         .groupby("bucket", num_partitions=max(1, num_buckets // 2))
         .map_groups(merge, batch_format="pyarrow")
     )
