@@ -8,15 +8,16 @@ primitive. ``range_join``: one row per (left row, interval) pair with
 ``start ≤ ts ≤ end``, one-to-many — the attribution-window primitive.
 
 Composition (no raw actors needed): align the two sides to one schema
-with a side tag → ``union`` → ONE ``groupby(key)`` shuffle → per-group
-vectorized merge (sort the right side once, one ``np.searchsorted`` for
-all left rows, one ``pc.take`` per attached column — no Python loop over
-rows).
+with a side tag → ``union`` → ONE ``groupby(key-hash BUCKET)`` shuffle →
+per-BUCKET vectorized merge handling every key in the bucket at once
+(polars ``join_asof(by=key)`` / key join + interval filter — no per-key
+Python callback; round-4 conversion from the per-key ``groupby(key)``
+shape, the same fix as session_windows).
 
 Partitioning assumption (documented contract, same as sessionization's):
-one key's rows fit in a single group. Keys here are entities (users,
-instruments); a key whose history exceeds worker memory needs a
-time-bucketed variant (join within day buckets, carrying each bucket's
+one BUCKET of keys fits in a single group — raise the bucket count with
+key cardinality. A single key whose history exceeds worker memory needs
+a time-bucketed variant (join within day buckets, carrying each bucket's
 last right-row forward), which composes from the same merge kernel.
 
 The union emits a benign "different schema" RefBundle warning on the
@@ -32,6 +33,18 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+_NUM_BUCKETS = 32  # 2^k key-hash buckets per exchange
+
+
+def _key_bucket(t: pa.Table, key_col: str) -> pa.Array:
+    """Stable key-hash bucket (polars value hash — process-stable)."""
+    import polars as pl
+
+    h = pl.from_arrow(t.select([key_col]))[key_col].hash(seed=11).to_numpy()
+    return pa.array(
+        (h & np.uint64(_NUM_BUCKETS - 1)).astype(np.int32), pa.int32()
+    )
 
 
 def range_join(
@@ -77,7 +90,8 @@ def range_join(
         for c in right_cols:
             cols[f"__r_{c}"] = pa.nulls(t.num_rows, right_types[c])
         cols["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
-        return pa.table(cols)
+        out = pa.table(cols)
+        return out.append_column("__bucket", _key_bucket(t, key_col))
 
     def align_right(t: pa.Table) -> pa.Table:
         cols = {}
@@ -88,41 +102,50 @@ def range_join(
         for c in right_cols:
             cols[f"__r_{c}"] = t[c]
         cols["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
-        return pa.table(cols)
+        out = pa.table(cols)
+        return out.append_column("__bucket", _key_bucket(t, key_col))
 
     def merge(g: pa.Table) -> pa.Table:
-        side = g["__side"].to_numpy(zero_copy_only=False)
-        l = g.filter(pa.array(side == 1))
-        r = g.filter(pa.array(side == 0))
-        if l.num_rows == 0 or r.num_rows == 0:
-            return pa.table(
-                {f.name: pa.nulls(0, f.type) for f in out_schema()},
-                schema=out_schema(),
+        """One KEY-HASH BUCKET (all its keys at once): polars inner join
+        on key then the interval filter — vectorized across every key in
+        the bucket, no per-key Python callback (the round-4 bucket
+        conversion; the pre-filter per-key product is the honest general
+        interval-join cost — huge event×interval keys should pre-bucket
+        by time as documented above)."""
+        import polars as pl
+
+        empty = pa.table(
+            {f.name: pa.nulls(0, f.type) for f in out_schema()},
+            schema=out_schema(),
+        )
+        if len(g) == 0:
+            return empty
+        df = pl.from_arrow(g.drop_columns(["__bucket"]))
+        l = df.filter(pl.col("__side") == 1).select(left_names)
+        r = df.filter(pl.col("__side") == 0).select(
+            [key_col, "__start", "__end"] + [f"__r_{c}" for c in right_cols]
+        )
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        j = (
+            l.join(r, on=key_col, how="inner")
+            .filter(
+                (pl.col(ts_col) >= pl.col("__start"))
+                & (pl.col(ts_col) <= pl.col("__end"))
             )
-        lts = l[ts_col].to_numpy(zero_copy_only=False)
-        rs_ = r["__start"].to_numpy(zero_copy_only=False)
-        re_ = r["__end"].to_numpy(zero_copy_only=False)
-        # chunk left rows so the boolean block stays a few MB
-        step = max(1, (1 << 22) // max(1, len(rs_)))
-        li_parts, rj_parts = [], []
-        for lo in range(0, len(lts), step):
-            chunk = lts[lo : lo + step]
-            li, rj = np.nonzero(
-                (chunk[:, None] >= rs_[None, :]) & (chunk[:, None] <= re_[None, :])
-            )
-            li_parts.append(li + lo)
-            rj_parts.append(rj)
-        li = np.concatenate(li_parts)
-        rj = np.concatenate(rj_parts)
-        out = {n: pc.take(l[n].combine_chunks(), pa.array(li)) for n in left_names}
+            .to_arrow()
+        )
+        if j.num_rows == 0:
+            return empty
+        out = {n: j[n].cast(left_types[n]) for n in left_names}
         for c in right_cols:
-            out[f"{c}{suffix}"] = pc.take(r[f"__r_{c}"].combine_chunks(), pa.array(rj))
+            out[f"{c}{suffix}"] = j[f"__r_{c}"].cast(right_types[c])
         return pa.table(out, schema=out_schema())
 
     both = left.map_batches(align_left, batch_format="pyarrow").union(
         right.map_batches(align_right, batch_format="pyarrow")
     )
-    return both.groupby(key_col).map_groups(
+    return both.groupby("__bucket").map_groups(
         merge, batch_format="pyarrow"
     ).select_columns(out_names)
 
@@ -150,7 +173,8 @@ def asof_join(
         for c in right_cols:
             cols[f"__r_{c}"] = pa.nulls(t.num_rows, right_types[c])
         cols["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
-        return pa.table(cols)
+        out = pa.table(cols)
+        return out.append_column("__bucket", _key_bucket(t, key_col))
 
     def align_right(t: pa.Table) -> pa.Table:
         cols = {}
@@ -162,28 +186,44 @@ def asof_join(
         for c in right_cols:
             cols[f"__r_{c}"] = t[c]
         cols["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
-        return pa.table(cols)
+        out = pa.table(cols)
+        return out.append_column("__bucket", _key_bucket(t, key_col))
 
     def merge(g: pa.Table) -> pa.Table:
-        side = g["__side"].to_numpy(zero_copy_only=False)
-        l = g.filter(pa.array(side == 1)).select(
-            left_names + [f"__r_{c}" for c in right_cols]
+        """One KEY-HASH BUCKET: polars ``join_asof(by=key)`` handles all
+        the bucket's keys in one vectorized pass (backward strategy =
+        greatest right ts ≤ left ts, equal timestamps match — the same
+        semantics the old per-key searchsorted kernel implemented)."""
+        import polars as pl
+
+        empty = pa.table(
+            {f.name: pa.nulls(0, f.type) for f in _out_schema()},
+            schema=_out_schema(),
         )
-        r = g.filter(pa.array(side == 0))
-        out = {n: l[n] for n in left_names}
-        if r.num_rows == 0:
+        if len(g) == 0:
+            return empty
+        df = pl.from_arrow(g.drop_columns(["__bucket"]))
+        l = df.filter(pl.col("__side") == 1).select(left_names)
+        r = df.filter(pl.col("__side") == 0).select(
+            [key_col, ts_col] + [f"__r_{c}" for c in right_cols]
+        )
+        if len(l) == 0:
+            return empty
+        if len(r) == 0:
+            out = {n: l.to_arrow()[n].cast(left_types[n]) for n in left_names}
             for c in right_cols:
-                out[f"{c}{suffix}"] = pa.nulls(l.num_rows, right_types[c])
+                out[f"{c}{suffix}"] = pa.nulls(len(l), right_types[c])
             return pa.table(out, schema=_out_schema())
-        rts = r[ts_col].to_numpy(zero_copy_only=False)
-        order = np.argsort(rts, kind="stable")
-        rts_sorted = rts[order]
-        lts = l[ts_col].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(rts_sorted, lts, side="right") - 1
-        valid = idx >= 0
-        indices = pa.array(order[np.maximum(idx, 0)], mask=~valid)
+        j = (
+            l.sort(ts_col)
+            .join_asof(
+                r.sort(ts_col), on=ts_col, by=key_col, strategy="backward"
+            )
+            .to_arrow()
+        )
+        out = {n: j[n].cast(left_types[n]) for n in left_names}
         for c in right_cols:
-            out[f"{c}{suffix}"] = pc.take(r[f"__r_{c}"].combine_chunks(), indices)
+            out[f"{c}{suffix}"] = j[f"__r_{c}"].cast(right_types[c])
         return pa.table(out, schema=_out_schema())
 
     def _out_schema() -> pa.Schema:
@@ -196,6 +236,6 @@ def asof_join(
     both = left.map_batches(align_left, batch_format="pyarrow").union(
         right.map_batches(align_right, batch_format="pyarrow")
     )
-    return both.groupby(key_col).map_groups(
+    return both.groupby("__bucket").map_groups(
         merge, batch_format="pyarrow"
     ).select_columns(out_names)
