@@ -574,18 +574,29 @@ def simhash_dup_pairs(
     chunk_bits = 64 // num_bands
     chunk_mask = np.uint64((1 << chunk_bits) - 1)
 
+    num_shuffle_buckets = 64
+
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         raw = np.asarray(batch[sig_col].to_pylist(), dtype=np.int64).view(np.uint64)
-        o_chunk, o_val, o_id, o_sig = [], [], [], []
+        o_chunk, o_val, o_id, o_sig, o_b = [], [], [], [], []
         for c in range(num_bands):
             vals = (raw >> np.uint64(c * chunk_bits)) & chunk_mask
+            with np.errstate(over="ignore"):
+                h = (
+                    vals * np.uint64(0x9E3779B97F4A7C15)
+                    + np.uint64(c) * np.uint64(0xBF58476D1CE4E5B9)
+                )
+            o_b.extend(
+                (h % np.uint64(num_shuffle_buckets)).astype(np.int32).tolist()
+            )
             o_chunk.extend([c] * len(ids))
             o_val.extend(vals.astype(np.int64).tolist())
             o_id.extend(ids)
             o_sig.extend(batch[sig_col].to_pylist())
         return pa.table(
             {
+                "bucket": pa.array(o_b, pa.int32()),
                 "chunk": pa.array(o_chunk, pa.int32()),
                 "chunk_val": pa.array(o_val, pa.int64()),
                 id_col: pa.array(o_id, batch[id_col].type),
@@ -593,44 +604,66 @@ def simhash_dup_pairs(
             }
         )
 
-    def pairs(g: pa.Table) -> pa.Table:
-        order = np.argsort(np.asarray(g[id_col].to_pylist(), dtype=object))
-        ids = np.asarray(g[id_col].to_pylist(), dtype=object)[order]
-        sig = np.asarray(g[sig_col].to_pylist(), dtype=np.int64).view(np.uint64)[order]
-        truncated = max(0, len(ids) - bucket_cap)
-        if truncated:
-            logging.getLogger(__name__).warning(
-                "SimHash bucket (chunk=%s val=%s) holds %d docs; capped at "
-                "%d — %d docs dropped",
-                g["chunk"][0].as_py(), g["chunk_val"][0].as_py(),
-                len(ids), bucket_cap, truncated,
-            )
-            ids, sig = ids[:bucket_cap], sig[:bucket_cap]
-        n = len(ids)
-        if n < 2:
-            return pa.table(
-                {"id_a": pa.array([], g[id_col].type),
-                 "id_b": pa.array([], g[id_col].type),
-                 "hamming": pa.array([], pa.int64()),
-                 "bucket_truncated": pa.array([], pa.int64())}
-            )
-        iu, ju = np.triu_indices(n, k=1)
-        ham = _popcount64(sig[iu] ^ sig[ju])
-        keep = ham <= max_hamming
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        """One SHUFFLE bucket (many (chunk, value) cohorts at once —
+        round-4 conversion from one Python callback per cohort): an
+        Arrow ``group_by`` finds multi-doc cohorts vectorized, singleton
+        cohorts (the vast majority) never touch Python, and each ≥2-doc
+        cohort pair-generates with the same triu Hamming kernel."""
+        id_type = g[id_col].type
+        empty = pa.table(
+            {"id_a": pa.array([], id_type),
+             "id_b": pa.array([], id_type),
+             "hamming": pa.array([], pa.int64()),
+             "bucket_truncated": pa.array([], pa.int64())}
+        )
+        if len(g) == 0:
+            return empty
+        cohorts = g.group_by(["chunk", "chunk_val"]).aggregate(
+            [(id_col, "count"), (id_col, "list"), (sig_col, "list")]
+        )
+        counts = cohorts[f"{id_col}_count"].to_numpy()
+        keep_idx = np.flatnonzero(counts >= 2)
+        if not len(keep_idx):
+            return empty
+        chunks_np = cohorts["chunk"].to_numpy()
+        vals_np = cohorts["chunk_val"].to_numpy()
+        id_lists = cohorts[f"{id_col}_list"].to_pylist()
+        sig_lists = cohorts[f"{sig_col}_list"].to_pylist()
+        a_, b_, h_, t_ = [], [], [], []
+        for i in keep_idx:
+            ids = np.asarray(id_lists[i], dtype=object)
+            sig = np.asarray(sig_lists[i], dtype=np.int64).view(np.uint64)
+            order = np.argsort(ids)
+            ids, sig = ids[order], sig[order]
+            truncated = max(0, len(ids) - bucket_cap)
+            if truncated:
+                logging.getLogger(__name__).warning(
+                    "SimHash bucket (chunk=%s val=%s) holds %d docs; "
+                    "capped at %d — %d docs dropped",
+                    int(chunks_np[i]), int(vals_np[i]),
+                    len(ids), bucket_cap, truncated,
+                )
+                ids, sig = ids[:bucket_cap], sig[:bucket_cap]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            ham = _popcount64(sig[iu] ^ sig[ju])
+            ok = ham <= max_hamming
+            a_.extend(ids[iu[ok]].tolist())
+            b_.extend(ids[ju[ok]].tolist())
+            h_.extend(ham[ok].tolist())
+            t_.extend([truncated] * int(ok.sum()))
         return pa.table(
             {
-                "id_a": pa.array(ids[iu[keep]].tolist(), g[id_col].type),
-                "id_b": pa.array(ids[ju[keep]].tolist(), g[id_col].type),
-                "hamming": pa.array(ham[keep].tolist(), pa.int64()),
-                "bucket_truncated": pa.array(
-                    [truncated] * int(keep.sum()), pa.int64()
-                ),
+                "id_a": pa.array(a_, id_type),
+                "id_b": pa.array(b_, id_type),
+                "hamming": pa.array(h_, pa.int64()),
+                "bucket_truncated": pa.array(t_, pa.int64()),
             }
         )
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
-    raw_pairs = exploded.groupby(["chunk", "chunk_val"]).map_groups(
-        pairs, batch_format="pyarrow"
+    raw_pairs = exploded.groupby("bucket", num_partitions=8).map_groups(
+        bucket_pairs, batch_format="pyarrow"
     )
     # a close pair shares many chunks → dedup across buckets (hamming is a
     # pure function of the pair, so min == the value)
