@@ -180,3 +180,43 @@ def test_droplist_exact_and_near(ray_session, tmp_path):
     assert {10, 20, 30, 40, 50} <= dropped
     # the near-pair {44, 45} keeps exactly its root (44)
     assert 45 in dropped and 44 not in dropped
+
+
+def test_lang_mode_predict_gate(ray_session, tmp_path):
+    """lang_mode='predict' routes the gate through the trigram LangId
+    model instead of trusting the lang column: rows whose column LIES
+    about an English text still pass, and texts in other scripts drop."""
+    import ray.data
+
+    from genie_ray.pipelines.curate import CurateConfig, clean_transform
+
+    en = (
+        "the quick brown fox jumps over the lazy dog and the rain in "
+        "spain stays mainly on the plain while the cat is in the hat "
+    ) * 3
+    zh = "这是一个中文文档 语言识别 应该把它归类为中文 " * 8
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([en, zh], pa.string()),
+            # the column claims the OPPOSITE language for both rows
+            "source": pa.array(["web", "web"], pa.string()),
+            "lang": pa.array(["zh", "en"], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    cfg = CurateConfig(
+        lang_mode="predict", min_chars=50, min_stopword_ratio=0.0,
+        max_top_bigram_frac=1.0, max_dup_trigram_frac=1.0,
+        max_dup_line_frac=1.0,
+    )
+    got = clean_transform(ds, cfg).to_pandas()
+    assert got["doc_id"].tolist() == [1]  # truly-English text, despite lang=zh
+
+    col_cfg = CurateConfig(
+        lang_mode="column", min_chars=50, min_stopword_ratio=0.0,
+        max_top_bigram_frac=1.0, max_dup_trigram_frac=1.0,
+        max_dup_line_frac=1.0,
+    )
+    got_col = clean_transform(ds, col_cfg).to_pandas()
+    assert got_col["doc_id"].tolist() == [2]  # column mode trusts the lie
