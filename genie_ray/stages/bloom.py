@@ -99,17 +99,15 @@ def bloom_semi_join(
 ) -> ray.data.Dataset:
     """EXACT semi join (facts rows whose key ∈ keys) with a Bloom
     prefilter cutting the join exchange to members + ~fp-rate false
-    positives. ``keys_unique=False`` adds a distinct pass on the key
-    side first (an inner join against duplicate keys would multiply
-    rows)."""
+    positives. ``keys_unique`` is retained for API compatibility but
+    no longer matters: the verify step is a MEMBERSHIP semi join, which
+    cannot multiply fact rows however duplicated the key side is (the
+    old JoinOperator verify needed the distinct pass)."""
+    del keys_unique  # semi-join verify is duplicate-safe by construction
     keys = keys.map_batches(
         lambda t: t.select([key_col]), batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    if not keys_unique:
-        keys = keys.groupby(key_col).count().map_batches(
-            lambda t: t.select([key_col]), batch_format="pyarrow"
-        )
     bloom_ref = build_bloom(keys, key_col, m_bits, k_hashes)
 
     def prefilter(t: pa.Table) -> pa.Table:
