@@ -133,11 +133,16 @@ def cmd_graph(args) -> dict:
         "pagerank": lambda: G.pagerank_fixed(
             args.triples, iters=args.iters,
             num_buckets=min(16, args.num_buckets),
-            num_partitions=args.num_partitions),
+            num_partitions=args.num_partitions,
+            checkpoint_dir=(os.path.join(args.checkpoint_dir, "pagerank")
+                            if args.checkpoint_dir else None),
+            dangling=args.dangling),
         "khop": lambda: G.khop_reachable(
             args.triples, k=args.k,
             num_buckets=min(16, args.num_buckets),
-            num_partitions=args.num_partitions),
+            num_partitions=args.num_partitions,
+            checkpoint_dir=(os.path.join(args.checkpoint_dir, "khop")
+                            if args.checkpoint_dir else None)),
         "cooccur": lambda: G.entity_cooccurrence(
             args.triples, num_buckets=args.num_buckets),
         "paths2": lambda: G.relation_paths2(
@@ -246,6 +251,13 @@ def main(argv=None) -> None:
     gr.add_argument("--per-edge", type=int, default=2)
     gr.add_argument("--num-buckets", type=int, default=64)
     gr.add_argument("--num-partitions", type=int, default=8)
+    gr.add_argument("--checkpoint-dir", default=None,
+                    help="per-round state checkpoints for the iterative "
+                         "ops (pagerank/khop) — a rerun resumes from the "
+                         "highest finished round, bit-identical")
+    gr.add_argument("--dangling", default="drop",
+                    choices=["drop", "redistribute"],
+                    help="PageRank dangling-mass policy")
     gr.set_defaults(fn=cmd_graph)
 
     cu = sub.add_parser(
