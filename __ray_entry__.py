@@ -383,6 +383,23 @@ def _q_top_terms(sf_dir: str):
     return top_terms(ds, k=25)
 
 
+def _q_top_terms_sketch(sf_dir: str):
+    """Two-pass Misra–Gries heavy hitters: per-batch bounded sketches
+    merge (no vocabulary shuffle), the ≤cap candidates broadcast for one
+    exact counting scan, and the k-th-vs-decrement-total check makes the
+    result PROVABLY exact (observable fallback otherwise) — so the
+    oracle is the identical exact top-k SQL."""
+    import os
+
+    import ray.data
+
+    from genie_ray.functions.corpus import top_terms_sketch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+    return top_terms_sketch(ds, k=25, cap=2048)
+
+
 def _q_len_quantiles(sf_dir: str):
     import os
 
@@ -1333,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         # corpus statistics + packing
         "top_terms": _q_top_terms,
+        "top_terms_sketch": _q_top_terms_sketch,
         "len_quantiles": _q_len_quantiles,
         "grouped_quantiles": _q_grouped_quantiles,
         "approx_distinct": _q_approx_distinct,
@@ -1704,6 +1722,14 @@ def oracle_sql() -> dict[str, str]:
         # corpus stats: shared \S+ tokenization with functions/corpus.py;
         # deterministic (n DESC, term ASC) tie-break both sides
         "top_terms": (
+            "SELECT term, n, row_number() OVER (ORDER BY n DESC, term) "
+            "  AS rank FROM ("
+            "  SELECT w AS term, count(*)::BIGINT AS n FROM ("
+            "    SELECT unnest(regexp_extract_all(text, '\\S+')) AS w "
+            "    FROM documents) GROUP BY w) "
+            "ORDER BY n DESC, term LIMIT 25"
+        ),
+"top_terms_sketch": (
             "SELECT term, n, row_number() OVER (ORDER BY n DESC, term) "
             "  AS rank FROM ("
             "  SELECT w AS term, count(*)::BIGINT AS n FROM ("

@@ -830,3 +830,180 @@ def profile_columns(ds: ray.data.Dataset, cols: tuple) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(merge, batch_format="pyarrow", batch_size=None)
     )
+
+
+def top_terms_sketch(
+    ds: ray.data.Dataset,
+    k: int = 50,
+    cap: int = 4096,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """EXACT global top-k terms (same output contract and SQL oracle as
+    :func:`top_terms`) via two passes and NO vocabulary-sized shuffle —
+    the 100-TB heavy-hitters plan (Misra–Gries / SpaceSaving family,
+    public streaming-algorithms literature):
+
+    **Pass 1** — per-batch Misra–Gries sketches (≤ ``cap`` counters:
+    exact batch counts, decremented by the (cap+1)-th largest so at most
+    ``cap`` survive), merged by summing counters and re-trimming. Only
+    sketch rows ever move (≤ cap per block), never the vocabulary. The
+    decrement total rides along as a null-term sentinel row: any term
+    ABSENT from the merged sketch has true count ≤ that total (the MG
+    guarantee, made exact by explicit bookkeeping).
+
+    **Pass 2** — the ≤ cap candidate terms broadcast once; one streaming
+    scan counts exactly those terms (vectorized ``is_in``), a single
+    tiny merge ranks them. If the k-th exact count exceeds the decrement
+    total, the result is PROVABLY the exact global top-k; otherwise
+    (adversarially flat distributions / cap too small) the operator
+    logs and falls back to the exact shuffle plan — so the output is
+    always exact, and the fallback is observable."""
+    import logging
+
+    import polars as pl
+    import pyarrow.compute as pc
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        c = (
+            pl.from_arrow(t[text_col])
+            .rename("t")
+            .to_frame()
+            .select(term=pl.col("t").str.extract_all(TOKEN_RE))
+            .explode("term")
+            .drop_nulls("term")
+            .group_by("term")
+            .len(name="n")
+        )
+        if len(c) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        n = c["n"].cast(pl.Int64).to_numpy()
+        terms = c["term"].to_arrow().cast(pa.string())
+        offset = 0
+        if len(c) > cap:
+            order = np.argsort(-n, kind="stable")
+            offset = int(n[order[cap]])
+            keep = n > offset
+            terms = terms.filter(pa.array(keep))
+            n = n[keep] - offset
+        out_terms = list(terms.to_pylist()) + [None]
+        out_n = list(np.asarray(n, dtype=np.int64)) + [offset]
+        return pa.table(
+            {"term": pa.array(out_terms, pa.string()),
+             "n": pa.array(np.asarray(out_n, dtype=np.int64), pa.int64())}
+        )
+
+    def mg_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("n", "sum")]).rename_columns(
+            ["term", "n"]
+        )
+        null_mask = pc.is_null(g["term"])
+        dec_total = int(
+            pc.sum(g.filter(null_mask)["n"]).as_py() or 0
+        )
+        terms_t = g.filter(pc.invert(null_mask))
+        n = terms_t["n"].to_numpy(zero_copy_only=False)
+        terms = terms_t["term"]
+        if len(terms_t) > cap:
+            order = np.argsort(-n, kind="stable")
+            offset = int(n[order[cap]])
+            keep = n > offset
+            terms = terms.filter(pa.array(keep))
+            n = n[keep] - offset
+            dec_total += offset
+        out_terms = list(terms.to_pylist()) + [None]
+        out_n = list(np.asarray(n, dtype=np.int64)) + [dec_total]
+        return pa.table(
+            {"term": pa.array(out_terms, pa.string()),
+             "n": pa.array(np.asarray(out_n, dtype=np.int64), pa.int64())}
+        )
+
+    sketch = (
+        ds.map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .map_batches(mg_merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(mg_merge, batch_format="pyarrow", batch_size=None)
+        .take_all()  # ≤ cap+1 rows by construction — sketch-sized
+    )
+    candidates = [r["term"] for r in sketch if r["term"] is not None]
+    dec_total = sum(r["n"] for r in sketch if r["term"] is None)
+    if not candidates:
+        return ray.data.from_arrow(
+            pa.table({"term": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+        )
+    import ray as _ray
+
+    cand_ref = _ray.put(pl.Series("c", candidates))
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        key = cand_ref.hex()
+        cand = _CAND_CACHE.get(key)
+        if cand is None:
+            _CAND_CACHE.clear()
+            cand = _CAND_CACHE[key] = _ray.get(cand_ref)
+        c = (
+            pl.from_arrow(t[text_col])
+            .rename("t")
+            .to_frame()
+            .select(term=pl.col("t").str.extract_all(TOKEN_RE))
+            .explode("term")
+            .drop_nulls("term")
+            .filter(pl.col("term").is_in(cand))
+            .group_by("term")
+            .len(name="n")
+        )
+        return pa.table(
+            {"term": c["term"].to_arrow().cast(pa.string()),
+             "n": c["n"].cast(pl.Int64).to_arrow()}
+        )
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("n", "sum")]).rename_columns(
+            ["term", "n"]
+        )
+        g = g.sort_by([("n", "descending"), ("term", "ascending")])
+        top = g.slice(0, k)
+        kth = (
+            int(top["n"][top.num_rows - 1].as_py()) if top.num_rows else 0
+        )
+        # provably exact iff the sketch never decremented (whole vocab
+        # captured) OR a full k rows exist and the k-th exceeds the
+        # decrement total (no absent term can outrank it)
+        if dec_total > 0 and (top.num_rows < k or kth <= dec_total):
+            return pa.table(
+                {"term": pa.array(["__MG_FALLBACK__"], pa.string()),
+                 "n": pa.array([-1], pa.int64()),
+                 "rank": pa.array([-1], pa.int64())}
+            )
+        return top.append_column(
+            "rank", pa.array(np.arange(1, top.num_rows + 1), pa.int64())
+        )
+
+    out = (
+        ds.map_batches(exact_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final_rank, batch_format="pyarrow", batch_size=None)
+        .take_all()  # ≤ k rows
+    )
+    if out and out[0]["term"] == "__MG_FALLBACK__":
+        logging.getLogger(__name__).warning(
+            "top_terms_sketch: k-th count ≤ decrement total %d (cap=%d "
+            "too small for this distribution) — falling back to the "
+            "exact vocabulary-shuffle plan", dec_total, cap,
+        )
+        return top_terms(ds, k=k, text_col=text_col)
+    return ray.data.from_arrow(
+        pa.table(
+            {"term": pa.array([r["term"] for r in out], pa.string()),
+             "n": pa.array([r["n"] for r in out], pa.int64()),
+             "rank": pa.array([r["rank"] for r in out], pa.int64())}
+        )
+    )
+
+
+# per-process broadcast cache for the sketch candidate list
+_CAND_CACHE: dict = {}

@@ -906,3 +906,28 @@ def test_resize_stub_never_upscales_and_floors_at_one(ray_session):
     assert (out.loc[0, "out_w"], out.loc[0, "out_h"]) == (100, 50)  # no upscale
     assert (out.loc[1, "out_w"], out.loc[1, "out_h"]) == (256, 1)   # floor ≥ 1
     assert (out.loc[2, "out_w"], out.loc[2, "out_h"]) == (1, 256)
+
+
+def test_top_terms_sketch_exact_and_fallback(ray_session):
+    """Two-pass Misra-Gries heavy hitters: with ample cap the sketch
+    path is provably exact (equal to the shuffle plan); with an
+    adversarially tiny cap the self-check detects non-provability and
+    the observable fallback still returns the exact answer."""
+    import pandas as pd
+    import ray.data
+
+    from genie_ray.functions.corpus import top_terms, top_terms_sketch
+
+    docs = lambda: ray.data.read_parquet(  # noqa: E731
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )
+    want = (
+        top_terms(docs(), k=10)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    for cap in (1024, 4):  # sketch path, then forced fallback
+        got = (
+            top_terms_sketch(docs(), k=10, cap=cap)
+            .to_pandas().sort_values("rank").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(want, got, check_dtype=False)
