@@ -256,7 +256,7 @@ def run_query_suite(sf_dir: str) -> dict:
         "anti_join_unique",
         "token_counts", "quality", "lang_id", "fingerprint",
         "repetition", "pii_scrub",
-        "top_terms", "len_quantiles", "pack_sequences",
+        "top_terms", "top_terms_sketch", "len_quantiles", "pack_sequences",
         "decontaminate", "domain_mix", "split_assign", "quality_topfrac",
         "asof_join", "range_join", "topk_per_source", "user_running",
         "left_join_nulls", "grouped_quantiles", "rollup_stats",
