@@ -270,6 +270,7 @@ def finalize_transform(
     clean: ray.data.Dataset,
     droplist: ray.data.Dataset,
     cfg: CurateConfig,
+    skip_groups: Optional[set] = None,
 ) -> ray.data.Dataset:
     """Stage C semantics: drop duplicates, hold out + decontaminate
     against the benchmark subset, assign splits, keep ``cfg.split_keep``,
@@ -278,7 +279,13 @@ def finalize_transform(
     The droplist anti-join is a bucketed hash exchange (both sides keyed
     by splitmix64(doc_id)); the benchmark gram set is driver-collected
     and broadcast — benchmarks are contractually small (same posture as
-    ``decontaminate``)."""
+    ``decontaminate``).
+
+    ``skip_groups`` (resume): pack groups already committed to disk.
+    Applied AFTER the benchmark gram list is built — the gram list is a
+    global property of the whole deduped corpus, so it must include
+    benchmark docs whose doc_id lands in a finished group, or resumed
+    runs would silently keep contaminated documents."""
     deduped = _anti_join_ids(clean, droplist, num_buckets=cfg.num_buckets)
 
     # benchmark = held-out subset of the DEDUPED corpus
@@ -289,6 +296,21 @@ def finalize_transform(
         lambda t: t.filter(is_bench(t)), batch_format="pyarrow"
     )
     grams_ref = ray.put(benchmark_ngram_list(bench, n=cfg.ngram_n))
+
+    if skip_groups:
+        done_arr = pa.array(sorted(skip_groups), pa.int64())
+        deduped = deduped.map_batches(
+            lambda t: t.filter(
+                pc.invert(
+                    pc.is_in(
+                        _mod(t["doc_id"], cfg.pack_groups),
+                        value_set=done_arr,
+                    )
+                ).combine_chunks()
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     def decon_filter(t: pa.Table) -> pa.Table:
         import polars as pl
@@ -499,22 +521,13 @@ def packed_stage(
     clean = ray.data.read_parquet(
         clean_dir, columns=["doc_id", "text", "source", "lang"]
     )
-    if done:
-        done_arr = pa.array(sorted(done), pa.int64())
-        clean = clean.map_batches(
-            lambda t: t.filter(
-                pc.invert(
-                    pc.is_in(
-                        _mod(t["doc_id"], cfg.pack_groups),
-                        value_set=done_arr,
-                    )
-                )
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+    # NOTE: the done-group filter is passed INTO finalize_transform (not
+    # applied here) so the benchmark n-gram list is still built from the
+    # FULL deduped corpus — filtering first would drop benchmark docs of
+    # finished groups from the gram list and resumed runs would keep
+    # contaminated documents.
     drop = ray.data.read_parquet(drop_dir).select_columns(["doc_id"])
-    packed = finalize_transform(clean, drop, cfg)
+    packed = finalize_transform(clean, drop, cfg, skip_groups=done or None)
 
     def write_grp(g: pa.Table) -> pa.Table:
         gid = int(g["grp"][0].as_py())

@@ -67,6 +67,17 @@ def _ckpt_resume_round(ckpt_dir: str, meta: dict, max_round: int) -> int:
     import shutil
 
     mdir = os.path.join(ckpt_dir, "_manifest")
+    # Purge uncommitted round data dirs (a crash mid-write leaves files but
+    # no manifest; re-running must not append a second copy into them).
+    if os.path.isdir(ckpt_dir):
+        committed = set()
+        if os.path.isdir(mdir):
+            committed = {n[: -len(".json")] for n in os.listdir(mdir)
+                         if n.endswith(".json")}
+        for name in os.listdir(ckpt_dir):
+            if name.startswith("round-") and name not in committed:
+                shutil.rmtree(os.path.join(ckpt_dir, name),
+                              ignore_errors=True)
     if not os.path.isdir(mdir):
         return 0
     finished = {}
@@ -104,10 +115,16 @@ def _ckpt_write_round(
     return a Dataset READING the checkpoint (so the lineage of later
     rounds roots at the file, not at the whole upstream plan)."""
     import json
+    import shutil
 
     from genie_ray.state.lineage import _atomic_write_bytes
 
     data, man = _ckpt_paths(ckpt_dir, k)
+    # Ray's write_parquet defaults to APPEND: a partial dir left by a crash
+    # (or a stale uncommitted one) would get a second copy appended and the
+    # manifest would then commit duplicated rows. Clear first — the manifest
+    # (written LAST) is the only commit point, so this is always safe.
+    shutil.rmtree(data, ignore_errors=True)
     state.write_parquet(data)
     n = ray.data.read_parquet(data).count()
     _atomic_write_bytes(

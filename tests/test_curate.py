@@ -94,6 +94,85 @@ def test_partial_resume_recomputes_only_missing(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_resume_decontaminates_across_finished_groups(ray_session, tmp_path):
+    """The benchmark n-gram list is a GLOBAL property: on partial resume
+    it must include benchmark docs whose doc_id lands in an already-
+    finished pack group, or a recomputed group silently keeps documents
+    contaminated by those benchmarks. Plants a bench doc in group g1 and
+    a doc sharing its 8-gram in group g2, finishes g1, deletes g2, and
+    asserts the resumed run still drops the contaminated doc."""
+    import pandas as pd
+
+    phrase = "zephyr quantum marble lantern cascade violet ember thistle"
+    base = (
+        "the curious traveler walked along the winding river path and saw "
+        "many small birds near an old stone bridge while the sun was "
+        "setting slowly behind distant green hills of a warm summer evening"
+    )
+    df = pq.read_table(DOCS).to_pandas()
+    bench_base = (
+        "a quiet harbor town woke early as fishing boats drifted out past "
+        "grey rocks and seagulls circled above nets stacked on wooden piers "
+        "where children waved at sailors heading toward open water again"
+    )
+    b_id = int(df.loc[df.doc_id % 97 == 0, "doc_id"].iloc[0])
+    b_grp = b_id % 8
+    # bench doc shares NO 8-gram with the candidates' base text — only the
+    # planted phrase (appended in v1) contaminates
+    df.loc[df.doc_id == b_id, "text"] = bench_base + " " + phrase
+    df.loc[df.doc_id == b_id, "lang"] = "en"
+    # several candidate contaminated docs (split assignment is hashed, so
+    # not every candidate lands in `train`; pick one that does)
+    cand = df.loc[
+        (df.doc_id % 97 != 0) & (df.doc_id % 8 != b_grp), "doc_id"
+    ].head(12).astype(int).tolist()
+    for i, cid in enumerate(cand):
+        df.loc[df.doc_id == cid, "text"] = (
+            base + f" and this is distinct variant number {i} of the story "
+            "which makes every content hash unique across all candidates"
+        )
+        df.loc[df.doc_id == cid, "lang"] = "en"
+    control = str(tmp_path / "docs0.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), control)
+    out0 = str(tmp_path / "out0")
+    curate(control, out0)
+    packed0 = set(_read_all(_packed_files(out0))["doc_id"].to_pylist())
+    survivors = [c for c in cand if c in packed0]
+    assert survivors, "no candidate survived to train output; fixture broken"
+    c_id = survivors[0]
+    c_grp = c_id % 8
+
+    # v1: the candidate now shares the benchmark's 8-gram
+    df.loc[df.doc_id == c_id, "text"] = (
+        df.loc[df.doc_id == c_id, "text"].iloc[0] + " " + phrase
+    )
+    v1 = str(tmp_path / "docs1.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), v1)
+    out1 = str(tmp_path / "out1")
+    curate(v1, out1)
+    full = (
+        _read_all(_packed_files(out1))
+        .to_pandas().sort_values(["grp", "doc_id"]).reset_index(drop=True)
+    )
+    assert c_id not in set(full["doc_id"]), "decon plant ineffective"
+
+    # crash that lost exactly the contaminated doc's group; bench group done
+    os.unlink(os.path.join(out1, "packed", f"grp-{c_grp:05d}.parquet"))
+    os.unlink(
+        os.path.join(out1, "packed", "_manifest", f"grp-{c_grp:05d}.json")
+    )
+    curate(v1, out1)
+    got = (
+        _read_all(_packed_files(out1))
+        .to_pandas().sort_values(["grp", "doc_id"]).reset_index(drop=True)
+    )
+    assert c_id not in set(got["doc_id"]), (
+        "resumed run kept a contaminated doc: bench grams of finished "
+        "groups were dropped from the gram list"
+    )
+    pd.testing.assert_frame_equal(got, full)
+
+
 def test_threshold_change_fails_fast(ray_session, tmp_path):
     out = str(tmp_path / "thr")
     curate(DOCS, out)

@@ -465,6 +465,51 @@ def test_pagerank_checkpoint_resume_bit_identical(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_exact=True)
 
 
+def test_pagerank_checkpoint_survives_partial_round_write(
+    ray_session, tmp_path
+):
+    """A crash mid-write of round k leaves a data dir with files but NO
+    manifest. The resumed run must discard that partial dir (Ray's
+    write_parquet APPENDs by default — without the purge the round would
+    hold two copies of every row and the manifest would commit them)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from genie_ray.fixtures import write_triples_parquet
+    from genie_ray.pipelines.graph import pagerank_fixed
+
+    path = os.path.join(str(tmp_path), "t.parquet")
+    write_triples_parquet(path, n_triples=5_000, n_entities=800, n_docs=1_000)
+    want = (
+        pagerank_fixed(path, iters=3)
+        .to_pandas().sort_values("ent_id").reset_index(drop=True)
+    )
+    ck = os.path.join(str(tmp_path), "ck")
+    pagerank_fixed(path, iters=1, checkpoint_dir=ck).materialize()
+    # Fake a crash mid-write of round 2: data files present, no manifest.
+    r2 = os.path.join(ck, "round-00002")
+    os.makedirs(r2)
+    src = next(
+        os.path.join(ck, "round-00001", f)
+        for f in os.listdir(os.path.join(ck, "round-00001"))
+        if f.endswith(".parquet")
+    )
+    import shutil
+
+    shutil.copy(src, os.path.join(r2, "partial.parquet"))
+    got = (
+        pagerank_fixed(path, iters=3, checkpoint_dir=ck)
+        .to_pandas().sort_values("ent_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # the committed round-2 dir must hold exactly one copy of each entity
+    n_rows = sum(
+        pq.read_metadata(os.path.join(r2, f)).num_rows
+        for f in os.listdir(r2) if f.endswith(".parquet")
+    )
+    assert n_rows == len(want)
+
+
 def test_pagerank_checkpoint_invalidates_on_input_change(
     ray_session, tmp_path
 ):
