@@ -215,6 +215,10 @@ def read_kilt_examples(
     return out
 
 
+# sentinel for NULL matching statuses crossing the sort-based groupby
+_NULL_STATUS = "\x00__null_status__"
+
+
 def status_counts(path: str) -> ray.data.Dataset:
     """G11 (reference `utils.py:10-36` ``count_matches_kilt_jsonl``):
     corpus matching-status counters over a KILT JSONL — instance-level
@@ -243,6 +247,10 @@ def status_counts(path: str) -> ray.data.Dataset:
             + list(trip.chunks if hasattr(trip, "chunks") else [trip]),
             type=pa.string(),
         )
+        # instance_matching_status is o.get()-parsed and CAN be null;
+        # Ray's sort-based groupby rejects NULL keys ('<' not supported)
+        # — shuffle a sentinel, restore null after the exchange.
+        status = pc.fill_null(status, _NULL_STATUS)
         return (
             pa.table({"level": level, "status": status})
             .group_by(["level", "status"])
@@ -250,14 +258,20 @@ def status_counts(path: str) -> ray.data.Dataset:
             .rename_columns(["level", "status", "n_p"])
         )
 
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["level", "status", "n"])
+        restored = pc.if_else(
+            pc.equal(t["status"], _NULL_STATUS),
+            pa.scalar(None, pa.string()),
+            t["status"],
+        )
+        return t.set_column(1, "status", restored)
+
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["level", "status"])
         .sum("n_p")
-        .map_batches(
-            lambda t: t.rename_columns(["level", "status", "n"]),
-            batch_format="pyarrow",
-        )
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 

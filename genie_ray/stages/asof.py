@@ -214,10 +214,17 @@ def asof_join(
             for c in right_cols:
                 out[f"{c}{suffix}"] = pa.nulls(len(l), right_types[c])
             return pa.table(out, schema=_out_schema())
+        # Right-side sort must be RUN-deterministic: when a key has
+        # several rows at the same timestamp the last sorted row wins,
+        # and polars' default sort is unstable while the group's input
+        # row order depends on block layout. Sorting by ts + every
+        # payload column makes the winner a pure function of content
+        # (the repo contract is bit-identical reruns).
         j = (
-            l.sort(ts_col)
+            l.sort(ts_col, maintain_order=True)
             .join_asof(
-                r.sort(ts_col), on=ts_col, by=key_col, strategy="backward"
+                r.sort(r.columns), on=ts_col, by=key_col,
+                strategy="backward",
             )
             .to_arrow()
         )

@@ -88,7 +88,12 @@ class LookupCacheActor:
                 entry = self._memo[_id]
             else:
                 self._fetches += 1
-                entry = self._fetch(_id, allow_labels)
+                # Always fetch WITH labels: the memo is shared across
+                # callers with different allow_labels, so a label-blind
+                # fetch memoized as a miss would poison later
+                # allow_labels=True callers. The gate applies at read
+                # time below, never at fetch time.
+                entry = self._fetch(_id, True)
                 if entry[0] is not None or self._cache_misses:
                     self._memo[_id] = entry
             surface, prov = entry

@@ -220,6 +220,57 @@ def test_lookup_cache_fallback_resolves_misses(ray_session):
     assert stats2["size"] == stats["size"]
 
 
+def test_status_counts_tolerates_null_instance_status(ray_session, tmp_path):
+    """instance_matching_status is o.get()-parsed and can be null; the
+    counter's merge groupby is sort-based (rejects NULL keys) — the
+    sentinel shuffle must survive and restore the null in the output."""
+    import json
+
+    from genie_ray.sources.kilt import status_counts
+
+    p = str(tmp_path / "null_status.jsonl")
+    rows = [
+        {"id": "d1", "input": "x", "output": [
+            {"answer": "a", "instance_matching_status": "title",
+             "non_formatted_triples_match_status": ["title", "label"]}]},
+        {"id": "d2", "input": "y", "output": [
+            {"answer": "b",
+             "non_formatted_triples_match_status": ["no_match"]}]},
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    df = (
+        status_counts(p).to_pandas()
+        .sort_values(["level", "status"], na_position="first")
+        .reset_index(drop=True)
+    )
+    inst = df[df.level == "instance"]
+    assert inst["n"].sum() == 2
+    assert inst["status"].isna().sum() == 1  # null preserved, not crashed
+    assert set(df[df.level == "triplet"]["status"]) == {
+        "title", "label", "no_match"
+    }
+
+
+def test_lookup_cache_label_gate_is_read_time_not_fetch_time(ray_session):
+    """An id first requested with allow_labels=False must NOT poison the
+    memo: a later allow_labels=True caller gets the label (the gate
+    applies at READ time; the fetch always retrieves labels)."""
+    import ray
+
+    from genie_ray.state.lookup_cache import LookupCacheActor, offline_fetcher
+
+    fetch = offline_fetcher({"QLBL": ("Gated Label", "en_label")})
+    cache = LookupCacheActor.remote(fetch_fn=fetch)
+    first = ray.get(cache.resolve_many.remote(["QLBL"], allow_labels=False))
+    assert first["QLBL"] == (None, None)
+    second = ray.get(cache.resolve_many.remote(["QLBL"], allow_labels=True))
+    assert second["QLBL"] == ("Gated Label", "en_label")
+    # and the entry was fetched exactly once (memo hit on the second call)
+    assert ray.get(cache.stats.remote())["fetches"] == 1
+
+
 def test_lookup_cache_default_is_closed_world(ray_session):
     import ray
 

@@ -367,6 +367,31 @@ def test_asof_join_semantics(ray_session):
     assert out2["ts_r"].fillna(-1).tolist() == out["ts_r"].fillna(-1).tolist()
 
 
+def test_asof_join_tie_timestamps_deterministic(ray_session):
+    """Several right rows at the SAME (key, ts): the attached payload
+    must be a pure function of content, not of block layout — the
+    content-greatest row wins regardless of input row order or
+    partitioning (repo contract: bit-identical reruns)."""
+    from genie_ray.stages.asof import asof_join
+
+    left = ray.data.from_arrow(pa.table(
+        {"id": pa.array([1], pa.int64()),
+         "k": pa.array(["u"], pa.string()),
+         "ts": pa.array([10], pa.int64())}
+    ))
+    tie = pa.table(
+        {"k": pa.array(["u", "u", "u"], pa.string()),
+         "ts": pa.array([10, 10, 10], pa.int64()),
+         "price": pa.array([3.0, 1.0, 2.0], pa.float64())}
+    )
+    results = set()
+    for perm in ([0, 1, 2], [2, 1, 0], [1, 2, 0]):
+        right = ray.data.from_arrow(tie.take(pa.array(perm))).repartition(2)
+        out = asof_join(left, right, "k", "ts", ["price"]).to_pandas()
+        results.add(float(out["price_r"].iloc[0]))
+    assert results == {3.0}, f"tie winner varied with row order: {results}"
+
+
 def test_range_join_one_to_many(ray_session):
     from genie_ray.stages.asof import range_join
 
