@@ -1048,14 +1048,27 @@ def relation_paths2(
         # the count, same observable-truncation posture as the LSH bucket
         # caps. Hub degrees come from entity_degrees over the SAME triple
         # table (one extra pass over g — never a re-consumption of the
-        # join inputs); hubs are a handful by definition, so the set is
-        # driver-collected and broadcast into the projection filters.
-        deg = entity_degrees(triples_path, num_buckets=num_buckets).to_pandas()
-        hot = deg.loc[
-            (deg["in_degree"] > max_mid_degree)
-            | (deg["out_degree"] > max_mid_degree),
-            "ent_id",
-        ]
+        # join inputs). The degree table itself is NODE-scale, so the
+        # cap filter runs distributed and only the surviving hub ids —
+        # a handful by definition — are driver-collected and broadcast
+        # into the projection filters.
+        def hub_filter(t: pa.Table) -> pa.Table:
+            keep = pc.or_(
+                pc.greater(t["in_degree"], max_mid_degree),
+                pc.greater(t["out_degree"], max_mid_degree),
+            )
+            return t.filter(keep).select(["ent_id"])
+
+        hot_df = (
+            entity_degrees(triples_path, num_buckets=num_buckets)
+            .map_batches(hub_filter, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .to_pandas()
+        )
+        # an all-empty filtered dataset loses its schema in to_pandas
+        if "ent_id" not in hot_df.columns:
+            hot_df = hot_df.reindex(columns=["ent_id"])
+        hot = hot_df["ent_id"]
         if len(hot):
             import logging
 
