@@ -48,13 +48,30 @@ class FlatTrie:
     def from_sequences(cls, sequences: Iterable[Sequence[int]]) -> "FlatTrie":
         """Build from token-id sequences (reference ``Trie.__init__``,
         `trie.py:44-55`; empty sequences are skipped as there)."""
+        trie, _ = cls.from_sequences_with_leaves(sequences)
+        return trie
+
+    @classmethod
+    def from_sequences_with_leaves(
+        cls, sequences: Iterable[Sequence[int]]
+    ):
+        """Like :meth:`from_sequences`, but also returns ``leaf_nodes`` —
+        per input sequence, the node id reached after its LAST token
+        (``-1`` for skipped empty sequences). The compact world's
+        trie-backed surface lookup inverts this into a node→surface-index
+        array instead of a 6M-entry Python dict (`core/compact.py`)."""
         root: dict = {}
-        for seq in sequences:
+        terminals: List[dict] = []
+        skipped: List[int] = []
+        for i, seq in enumerate(sequences):
             if len(seq) == 0:
+                skipped.append(i)
+                terminals.append(root)  # placeholder, patched to -1 below
                 continue
             node = root
             for tok in seq:
                 node = node.setdefault(int(tok), {})
+            terminals.append(node)
 
         # Flatten: DFS with children visited in ascending token order.
         node_start: List[int] = [0]
@@ -78,11 +95,15 @@ class FlatTrie:
                 edge_tokens.append(tok)
                 edge_child.append(ids[id(node[tok])])
             node_start.append(len(edge_tokens))
-        return cls(
+        trie = cls(
             np.asarray(node_start, dtype=np.int64),
             np.asarray(edge_tokens, dtype=np.int32),
             np.asarray(edge_child, dtype=np.int32),
         )
+        leaf_nodes = np.asarray([ids[id(t)] for t in terminals], np.int64)
+        if skipped:
+            leaf_nodes[np.asarray(skipped, np.int64)] = -1
+        return trie, leaf_nodes
 
     @classmethod
     def from_strings(cls, strings: Iterable[str], tokenizer) -> "FlatTrie":
@@ -90,6 +111,15 @@ class FlatTrie:
         strings, leading space, BOS stripped (EOS retained → terminality)."""
         seqs = [tokenizer.encode(f" {s}")[1:] for s in sorted(strings)]
         return cls.from_sequences(seqs)
+
+    @classmethod
+    def from_strings_with_leaves(cls, strings: Iterable[str], tokenizer):
+        """(trie, sorted_strings, leaf_nodes) — leaf_nodes[i] is the
+        terminal node (after EOS) of sorted_strings[i]."""
+        ss = sorted(strings)
+        seqs = [tokenizer.encode(f" {s}")[1:] for s in ss]
+        trie, leaves = cls.from_sequences_with_leaves(seqs)
+        return trie, ss, leaves
 
     # -- queries -------------------------------------------------------------
 

@@ -48,6 +48,19 @@ class World:
             lookup[ids] = s
         return cls(tokenizer, entities, relations, entities_trie, relations_trie, lookup)
 
+    def compact(self) -> "CompactWorld":
+        """Buffer-backed form for broadcast at paper-scale catalogs
+        (`core/compact.py`): identical extraction semantics, O(1)
+        per-process deserialization instead of rebuilding millions of
+        dict entries per worker."""
+        from .compact import CompactWorld
+
+        # rebuild from the (already title-deduped) catalogs; dedup again
+        # is a no-op on deduped input
+        return CompactWorld.build(
+            self.entities, self.relations, dedup_titles=False
+        )
+
     def make_extractor(
         self,
         num_beams: int = 10,

@@ -24,16 +24,22 @@ from ..core.catalog import EN_LABEL, STATUS_LABEL, STATUS_NO_MATCH, STATUS_TITLE
 from ..state.broadcast import get_world
 
 
+def _surface_map(catalog):
+    """surface → (id, provenance) with dict.get semantics. Plain Catalog:
+    a per-process dict (fine at fixture scale). CompactCatalog: a memoized
+    binary-search view — at paper scale (6M surfaces, BASELINE.md round-5
+    stress) a worker must never rebuild catalog-sized Python state."""
+    if hasattr(catalog, "id2surface"):
+        return {s: (i, p) for i, (s, p) in catalog.id2surface.items()}
+    return catalog.surface_map()
+
+
 class CanonicalizeTriples:
     def __init__(self, world_ref, allow_labels: bool = True):
         world = get_world(world_ref)
         # surface → (id, provenance); provenance drives the match status
-        self.ent = {
-            s: (i, p) for i, (s, p) in world.entities.id2surface.items()
-        }
-        self.rel = {
-            s: (i, p) for i, (s, p) in world.relations.id2surface.items()
-        }
+        self.ent = _surface_map(world.entities)
+        self.rel = _surface_map(world.relations)
         self.allow_labels = allow_labels
 
     def _lookup(self, table, surface):

@@ -22,10 +22,12 @@ def put_world(world: World) -> ray.ObjectRef:
 
 
 def get_world(ref) -> World:
-    """Resolve a world ref (or accept a World passed directly in tests).
-    Caches per-process so repeated actor constructions in one worker reuse
-    the deserialized object."""
-    if isinstance(ref, World):
+    """Resolve a world ref (or accept a World/CompactWorld passed directly
+    in tests). Caches per-process so repeated actor constructions in one
+    worker reuse the deserialized object."""
+    from ..core.compact import CompactWorld
+
+    if isinstance(ref, (World, CompactWorld)):
         return ref
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     if key not in _LOCAL_CACHE:
