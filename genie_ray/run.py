@@ -169,6 +169,12 @@ def cmd_graph(args) -> dict:
             )
         out_dir = os.path.join(args.output, op)
         ds = builders[op]()
+        # clear first: Ray's write_parquet APPENDs by default, so a rerun
+        # over a partially-written op dir would duplicate rows (same
+        # contract as the per-round checkpoint writer, pipelines/graph.py)
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
         ds.write_parquet(out_dir)
         import ray.data
 

@@ -538,6 +538,59 @@ def test_pagerank_checkpoint_invalidates_on_input_change(
     pd.testing.assert_frame_equal(got, want, check_exact=True)
 
 
+def test_graph_cli_checkpoint_resume(ray_session, tmp_path):
+    """The `graph` CLI path of the checkpoint contract: rerunning the
+    same command with more iters resumes from the finished rounds (their
+    manifests are not rewritten), the op output dir is REPLACED not
+    appended, and the result equals a cold run bit-for-bit."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from genie_ray.fixtures import write_triples_parquet
+    from genie_ray.run import main as cli_main
+
+    path = os.path.join(str(tmp_path), "t.parquet")
+    write_triples_parquet(path, n_triples=5_000, n_entities=800, n_docs=1_000)
+
+    def run(out, ck, iters):
+        cli_main([
+            "graph", "--triples", path, "--output", out,
+            "--ops", "pagerank", "--iters", str(iters),
+            "--checkpoint-dir", ck,
+        ])
+
+    def read(out):
+        d = os.path.join(out, "pagerank")
+        return (
+            pa.concat_tables([
+                pq.read_table(os.path.join(d, f))
+                for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            ])
+            .sort_by([("ent_id", "ascending")]).to_pandas()
+        )
+
+    cold_out = os.path.join(str(tmp_path), "cold")
+    run(cold_out, os.path.join(str(tmp_path), "ck_cold"), 3)
+    want = read(cold_out)
+
+    ck = os.path.join(str(tmp_path), "ck")
+    half_out = os.path.join(str(tmp_path), "half")
+    run(half_out, ck, 2)
+    m1 = os.path.join(ck, "pagerank", "_manifest", "round-00001.json")
+    m2 = os.path.join(ck, "pagerank", "_manifest", "round-00002.json")
+    t1, t2 = os.path.getmtime(m1), os.path.getmtime(m2)
+    resume_out = os.path.join(str(tmp_path), "resume")
+    run(resume_out, ck, 3)
+    assert os.path.getmtime(m1) == t1 and os.path.getmtime(m2) == t2, (
+        "CLI resume recomputed finished rounds"
+    )
+    pd.testing.assert_frame_equal(read(resume_out), want, check_exact=True)
+    # rerun into the SAME output dir: replaced, not appended
+    run(resume_out, ck, 3)
+    pd.testing.assert_frame_equal(read(resume_out), want, check_exact=True)
+
+
 def test_khop_checkpoint_resume_bit_identical(ray_session, tmp_path):
     import pandas as pd
 
