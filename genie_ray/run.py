@@ -43,7 +43,15 @@ def cmd_extract(args) -> dict:
         entities, relations = catalogs_from_dump(args.catalog_dump)
     else:
         entities, relations = make_catalogs()
-    world = World.build(entities, relations)
+    if args.compact_world:
+        from .core.compact import CompactWorld
+
+        # zero-copy broadcast — mandatory posture at paper-scale
+        # catalogs (6M surfaces: 0.01 s/worker fetch vs 40-73 s for the
+        # dict World; BASELINE.md round-5 stress)
+        world = CompactWorld.build(entities, relations)
+    else:
+        world = World.build(entities, relations)
     cfg = KGConfig(
         num_partitions=args.num_partitions,
         num_buckets=args.num_buckets,
@@ -218,6 +226,10 @@ def main(argv=None) -> None:
     ex.add_argument("--batch-size", type=int, default=64)
     ex.add_argument("--decode-mode", default="scan", choices=["scan", "beam"])
     ex.add_argument("--no-resume", action="store_true")
+    ex.add_argument("--compact-world", action="store_true",
+                    help="broadcast the catalog world in the zero-copy "
+                         "buffer form (use for catalogs beyond ~1M "
+                         "surfaces; identical outputs)")
     ex.set_defaults(fn=cmd_extract)
 
     ev = sub.add_parser("evaluate")
