@@ -217,14 +217,17 @@ class CompactCatalog:
     must take the ``canonicalize_via_join`` path, not the broadcast-dict
     one."""
 
-    __slots__ = ("ids", "surfaces", "prov_codes", "by_surface", "by_id")
+    __slots__ = ("ids", "surfaces", "prov_codes", "prov_legend",
+                 "by_surface", "by_id")
 
     def __init__(self, ids: StrColumn, surfaces: StrColumn,
                  prov_codes: np.ndarray, by_surface: np.ndarray,
-                 by_id: np.ndarray):
+                 by_id: np.ndarray,
+                 prov_legend: Tuple[str, ...] = _PROV_CODES):
         self.ids = ids
         self.surfaces = surfaces
         self.prov_codes = prov_codes
+        self.prov_legend = prov_legend
         self.by_surface = by_surface
         self.by_id = by_id
 
@@ -233,9 +236,19 @@ class CompactCatalog:
         rows = [(i, s, p) for i, (s, p) in catalog.id2surface.items()]
         ids = StrColumn.from_strings(r[0] for r in rows)
         surfaces = StrColumn.from_strings(r[1] for r in rows)
-        prov = np.asarray(
-            [_PROV_CODES.index(r[2]) for r in rows], np.int8
-        )
+        # legend: the standard codes first, then any catalog-specific
+        # provenance strings appended (closed small set by construction)
+        legend = list(_PROV_CODES)
+        code_of = {p: c for c, p in enumerate(legend)}
+        codes = []
+        for r in rows:
+            c = code_of.get(r[2])
+            if c is None:
+                c = len(legend)
+                legend.append(r[2])
+                code_of[r[2]] = c
+            codes.append(c)
+        prov = np.asarray(codes, np.int16)
         surf_list = [r[1] for r in rows]
         by_surface = np.asarray(
             sorted(range(len(rows)), key=surf_list.__getitem__), np.int64
@@ -244,7 +257,7 @@ class CompactCatalog:
         by_id = np.asarray(
             sorted(range(len(rows)), key=id_list.__getitem__), np.int64
         )
-        return cls(ids, surfaces, prov, by_surface, by_id)
+        return cls(ids, surfaces, prov, by_surface, by_id, tuple(legend))
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -270,7 +283,7 @@ class CompactCatalog:
         i = self._bisect(self.ids, self.by_id, _id)
         if i < 0:
             return None, None
-        prov = _PROV_CODES[self.prov_codes[i]]
+        prov = self.prov_legend[self.prov_codes[i]]
         if prov == "en_label" and not allow_labels:
             return None, None
         return self.surfaces.get(i), prov
@@ -302,7 +315,7 @@ class CompactCatalog:
                 pa.string(),
             ),
             "provenance": pa.array(
-                [_PROV_CODES[c] for c in self.prov_codes], pa.string()
+                [self.prov_legend[c] for c in self.prov_codes], pa.string()
             ),
         })
 
@@ -324,7 +337,7 @@ class SurfaceEntryMap:
             i = c._bisect(c.surfaces, c.by_surface, surface)
             got = (
                 None if i < 0
-                else (c.ids.get(i), _PROV_CODES[c.prov_codes[i]])
+                else (c.ids.get(i), c.prov_legend[c.prov_codes[i]])
             )
             self._memo[surface] = got
         return default if got is None else got
