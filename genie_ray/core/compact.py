@@ -218,7 +218,7 @@ class CompactCatalog:
     one."""
 
     __slots__ = ("ids", "surfaces", "prov_codes", "prov_legend",
-                 "by_surface", "by_id")
+                 "by_surface", "by_id", "overlay")
 
     def __init__(self, ids: StrColumn, surfaces: StrColumn,
                  prov_codes: np.ndarray, by_surface: np.ndarray,
@@ -230,6 +230,11 @@ class CompactCatalog:
         self.prov_legend = prov_legend
         self.by_surface = by_surface
         self.by_id = by_id
+        # process-local additions (lookup-cache fallback resolutions —
+        # the reference's per-process replica `update()`,
+        # surface_forms_utils.py:343-369); never populated driver-side,
+        # so nothing catalog-scale ever ships
+        self.overlay: Optional[Dict[str, Tuple[str, str]]] = None
 
     @classmethod
     def from_catalog(cls, catalog) -> "CompactCatalog":
@@ -280,18 +285,42 @@ class CompactCatalog:
     ) -> Tuple[Optional[str], Optional[str]]:
         """id → (surface, provenance) with the en_label gate — same
         contract as ``Catalog.lookup_id`` (`core/catalog.py`)."""
-        i = self._bisect(self.ids, self.by_id, _id)
-        if i < 0:
-            return None, None
-        prov = self.prov_legend[self.prov_codes[i]]
+        if self.overlay and _id in self.overlay:
+            surface, prov = self.overlay[_id]
+        else:
+            i = self._bisect(self.ids, self.by_id, _id)
+            if i < 0:
+                return None, None
+            surface, prov = self.surfaces.get(i), self.prov_legend[
+                self.prov_codes[i]
+            ]
         if prov == "en_label" and not allow_labels:
             return None, None
-        return self.surfaces.get(i), prov
+        return surface, prov
+
+    def has_id(self, _id: str) -> bool:
+        """Membership regardless of the label gate (the miss test the
+        lookup-cache fallback uses before fetching)."""
+        if self.overlay and _id in self.overlay:
+            return True
+        return self._bisect(self.ids, self.by_id, _id) >= 0
+
+    def add_entry(self, _id: str, surface: str, provenance: str) -> None:
+        """Process-local overlay insert (reference ``update()``)."""
+        if self.overlay is None:
+            self.overlay = {}
+        self.overlay[_id] = (surface, provenance)
 
     def lookup_surface(self, surface: str) -> Optional[str]:
         """surface → id; None on miss (``Catalog.lookup_surface``)."""
         i = self._bisect(self.surfaces, self.by_surface, surface)
-        return None if i < 0 else self.ids.get(i)
+        if i >= 0:
+            return self.ids.get(i)
+        if self.overlay:  # overlay is lookup-cache-sized: linear is fine
+            for _id, (s, _p) in self.overlay.items():
+                if s == surface:
+                    return _id
+        return None
 
     def surface_map(self) -> "SurfaceEntryMap":
         """dict.get-compatible surface → (id, provenance) view — what

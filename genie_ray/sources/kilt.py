@@ -296,16 +296,31 @@ def annotate_kilt_examples(
         if lookup_cache is not None:
             import ray as _ray
 
+            def has_id(cat, _id):
+                if hasattr(cat, "id2surface"):
+                    return _id in cat.id2surface
+                return cat.has_id(_id)  # CompactCatalog
+
+            def add_entry(cat, _id, surface, prov):
+                # fold into the process-local replica (reference
+                # update(), :343-369); compact catalogs use an overlay
+                # dict so the buffer form stays immutable
+                if hasattr(cat, "id2surface"):
+                    cat.id2surface[_id] = (surface, prov)
+                    cat.surface2id[surface] = _id
+                else:
+                    cat.add_entry(_id, surface, prov)
+
             miss_e, miss_r = set(), set()
             for ids in batch["id_triples"].to_pylist():
                 for t in ids or []:
                     if len(t) == 3:
                         h, r, o = t
-                        if h not in world.entities.id2surface:
+                        if not has_id(world.entities, h):
                             miss_e.add(h)
-                        if o not in world.entities.id2surface:
+                        if not has_id(world.entities, o):
                             miss_e.add(o)
-                        if r not in world.relations.id2surface:
+                        if not has_id(world.relations, r):
                             miss_r.add(r)
             for cat, miss in (
                 (world.entities, miss_e), (world.relations, miss_r)
@@ -318,9 +333,8 @@ def annotate_kilt_examples(
                     )
                 )
                 for _id, (surface, prov) in resolved.items():
-                    if surface is not None:  # reference update(), :343-369
-                        cat.id2surface[_id] = (surface, prov)
-                        cat.surface2id[surface] = _id
+                    if surface is not None:
+                        add_entry(cat, _id, surface, prov)
         o_status, o_answer, o_surface, o_tstat = [], [], [], []
         for ids in batch["id_triples"].to_pylist():
             statuses, surfaces = [], []

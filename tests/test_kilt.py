@@ -271,6 +271,58 @@ def test_lookup_cache_label_gate_is_read_time_not_fetch_time(ray_session):
     assert ray.get(cache.stats.remote())["fetches"] == 1
 
 
+def test_lookup_cache_fallback_with_compact_world(ray_session):
+    """Same A4 fallback semantics over a broadcast CompactWorld: misses
+    resolve through the shared actor and fold into a process-local
+    OVERLAY (the buffer catalog itself stays immutable)."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from genie_ray.core.compact import CompactWorld
+    from genie_ray.core.world import World
+    from genie_ray.fixtures import make_catalogs
+    from genie_ray.sources.kilt import annotate_kilt_examples
+    from genie_ray.state.broadcast import put_world
+    from genie_ray.state.lookup_cache import LookupCacheActor, offline_fetcher
+
+    entities, relations = make_catalogs()
+    world = World.build(entities, relations)
+    cworld_ref = put_world(CompactWorld.build(entities, relations))
+    ent0 = next(iter(world.entities.id2surface))
+    rel0 = next(iter(world.relations.id2surface))
+    fetch = offline_fetcher(
+        {
+            "QNEW1": ("Fresh Entity One", "en_title"),
+            "QNEW2": ("Fresh Label Two", "en_label"),
+        }
+    )
+    cache = LookupCacheActor.remote(fetch_fn=fetch)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["d1", "d2", "d3"], pa.string()),
+                "id_triples": pa.array(
+                    [
+                        [["QNEW1", rel0, ent0]],
+                        [["QNEW2", rel0, ent0]],
+                        [["QGONE", rel0, ent0]],
+                    ],
+                    pa.list_(pa.list_(pa.string())),
+                ),
+            }
+        )
+    )
+    out = (
+        annotate_kilt_examples(ds, cworld_ref, lookup_cache=cache)
+        .to_pandas().set_index("doc_id")
+    )
+    assert out.loc["d1", "instance_matching_status"] == "title"
+    assert "Fresh Entity One" in out.loc["d1", "answer"]
+    assert out.loc["d2", "instance_matching_status"] == "no_match"
+    assert out.loc["d3", "instance_matching_status"] == "no_match"
+
+
 def test_lookup_cache_concurrent_callers(ray_session):
     """32 concurrent resolve_many callers (the extraction-pool shape):
     every caller gets correct entries and each unique id is fetched at
