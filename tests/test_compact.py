@@ -148,6 +148,45 @@ def test_kg_pipeline_with_compact_world(ray_session, tmp_path):
     assert ta.equals(tb)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(st.text(min_size=0, max_size=24), min_size=1,
+                    max_size=60, unique=True),
+           st.text(min_size=0, max_size=24))
+    @settings(max_examples=60, deadline=None)
+    def test_strcolumn_find_sorted_matches_python(strings, probe):
+        """Property: byte-wise binary search over a Python-sorted column
+        agrees with list membership for arbitrary unicode (utf-8 byte
+        order == code-point order)."""
+        ss = sorted(strings)
+        col = StrColumn.from_strings(ss)
+        for i, s in enumerate(ss):
+            assert col.find_sorted(s) == i
+        want = ss.index(probe) if probe in ss else -1
+        assert col.find_sorted(probe) == want
+
+    @given(st.lists(st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=1, max_size=12), min_size=1, max_size=30))
+    @settings(max_examples=60, deadline=None)
+    def test_compact_vocab_matches_dettokenizer(corpus):
+        """Property: CompactVocab's encode/decode equals DetTokenizer's
+        on the corpus it was built from plus unknown probes."""
+        from genie_ray.core.compact import CompactVocab
+        from genie_ray.core.tokenizer import DetTokenizer
+
+        tok = DetTokenizer(corpus)
+        cv = CompactVocab.from_tokenizer(tok)
+        for s in corpus + ["never in corpus 0xZZ", ""]:
+            ids = tok.encode(s)
+            assert cv.encode(s) == ids, s
+            assert cv.decode(ids) == tok.decode(ids), s
+except ImportError:  # hypothesis absent: the explicit tests above cover
+    pass
+
+
 @pytest.mark.slow
 def test_compact_paper_scale_broadcast(ray_session):
     """1.5M-surface catalog (quarter of the reference's large schema;
