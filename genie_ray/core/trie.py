@@ -59,50 +59,64 @@ class FlatTrie:
         per input sequence, the node id reached after its LAST token
         (``-1`` for skipped empty sequences). The compact world's
         trie-backed surface lookup inverts this into a node→surface-index
-        array instead of a 6M-entry Python dict (`core/compact.py`)."""
-        root: dict = {}
-        terminals: List[dict] = []
-        skipped: List[int] = []
-        for i, seq in enumerate(sequences):
-            if len(seq) == 0:
-                skipped.append(i)
-                terminals.append(root)  # placeholder, patched to -1 below
-                continue
-            node = root
-            for tok in seq:
-                node = node.setdefault(int(tok), {})
-            terminals.append(node)
+        array instead of a 6M-entry Python dict (`core/compact.py`).
 
-        # Flatten: DFS with children visited in ascending token order.
-        node_start: List[int] = [0]
-        edge_tokens: List[int] = []
-        edge_child: List[int] = []
-        # iterative DFS assigning node ids in discovery order
-        order: List[dict] = [root]
-        # first pass: assign ids
-        ids = {id(root): 0}
-        stack = [root]
-        while stack:
-            node = stack.pop()
-            for tok in sorted(node.keys(), reverse=True):
-                child = node[tok]
-                ids[id(child)] = len(ids)
-                order.append(child)
+        Build is a LINEAR stack walk over the token-sorted sequences —
+        never the dict-of-dicts intermediate (12M Python dicts ≈ GBs of
+        driver heap at the reference's 6M-surface magnitude): sorting
+        groups every shared prefix contiguously, so each sequence only
+        extends the stack past its common prefix with the previous one.
+        Node ids come out in preorder with ascending children (the old
+        dict flatten's numbering differed internally; node ids are NOT
+        part of the contract — get()/step() semantics are, asserted
+        against the dict-flatten oracle in tests/test_trie.py)."""
+        seq_list = [list(map(int, s)) for s in sequences]
+        n = len(seq_list)
+        order = sorted(range(n), key=seq_list.__getitem__)
+        total_tokens = sum(len(s) for s in seq_list)
+        e_parent = np.empty(total_tokens, np.int64)
+        e_token = np.empty(total_tokens, np.int32)
+        e_child = np.empty(total_tokens, np.int32)
+        n_edges = 0
+        node_count = 1  # root = 0
+        stack: List[int] = [0]  # stack[d] = node of the d-token prefix
+        prev: List[int] = []
+        leaf_nodes = np.full(n, -1, np.int64)
+        for oi in order:
+            seq = seq_list[oi]
+            if not seq:
+                continue
+            # common prefix length with the previous (sorted) sequence
+            k = 0
+            lim = min(len(prev), len(seq))
+            while k < lim and prev[k] == seq[k]:
+                k += 1
+            del stack[k + 1:]
+            for tok in seq[k:]:
+                child = node_count
+                node_count += 1
+                e_parent[n_edges] = stack[-1]
+                e_token[n_edges] = tok
+                e_child[n_edges] = child
+                n_edges += 1
                 stack.append(child)
-        # re-walk in id order to emit CSR (children sorted ascending)
-        for node in order:
-            for tok in sorted(node.keys()):
-                edge_tokens.append(tok)
-                edge_child.append(ids[id(node[tok])])
-            node_start.append(len(edge_tokens))
-        trie = cls(
-            np.asarray(node_start, dtype=np.int64),
-            np.asarray(edge_tokens, dtype=np.int32),
-            np.asarray(edge_child, dtype=np.int32),
+            leaf_nodes[oi] = stack[len(seq)]
+            prev = seq
+        e_parent = e_parent[:n_edges]
+        e_token = e_token[:n_edges]
+        e_child = e_child[:n_edges]
+        # CSR: edges grouped by parent id; stable sort keeps each node's
+        # ascending-token discovery order
+        perm = np.argsort(e_parent, kind="stable")
+        node_start = np.zeros(node_count + 1, np.int64)
+        np.cumsum(
+            np.bincount(e_parent, minlength=node_count), out=node_start[1:]
         )
-        leaf_nodes = np.asarray([ids[id(t)] for t in terminals], np.int64)
-        if skipped:
-            leaf_nodes[np.asarray(skipped, np.int64)] = -1
+        trie = cls(
+            node_start,
+            e_token[perm],
+            e_child[perm],
+        )
         return trie, leaf_nodes
 
     @classmethod

@@ -83,3 +83,105 @@ def test_npz_round_trip(tmp_path):
     assert sorted(t2.get([])) == sorted(t.get([]))
     assert t2.get([1]) == t.get([1])
     assert t2.num_nodes == t.num_nodes and t2.num_edges == t.num_edges
+
+
+def _dict_build_with_leaves(sequences):
+    """The pre-round-5 dict-of-dicts flatten — kept here as the numbering
+    oracle for the linear stack builder (preorder, ascending children)."""
+    import numpy as np
+
+    root, terminals, skipped = {}, [], []
+    for i, seq in enumerate(sequences):
+        if len(seq) == 0:
+            skipped.append(i)
+            terminals.append(root)
+            continue
+        node = root
+        for tok in seq:
+            node = node.setdefault(int(tok), {})
+        terminals.append(node)
+    node_start, edge_tokens, edge_child = [0], [], []
+    order, ids, stack = [root], {id(root): 0}, [root]
+    while stack:
+        node = stack.pop()
+        for tok in sorted(node.keys(), reverse=True):
+            child = node[tok]
+            ids[id(child)] = len(ids)
+            order.append(child)
+            stack.append(child)
+    for node in order:
+        for tok in sorted(node.keys()):
+            edge_tokens.append(tok)
+            edge_child.append(ids[id(node[tok])])
+        node_start.append(len(edge_tokens))
+    leaves = np.asarray([ids[id(t)] for t in terminals], np.int64)
+    if skipped:
+        leaves[np.asarray(skipped, np.int64)] = -1
+    return (np.asarray(node_start, np.int64),
+            np.asarray(edge_tokens, np.int32),
+            np.asarray(edge_child, np.int32), leaves)
+
+
+def _assert_semantic_parity(seqs):
+    """get() on every prefix (and one-past probes) must agree between the
+    linear builder and the dict-flatten oracle; leaves must equal the
+    walk-reached node. Node NUMBERING is not part of the contract (the
+    old flatten numbered children in push-time reverse order)."""
+    import numpy as np
+
+    from genie_ray.core.trie import FlatTrie
+
+    trie, leaves = FlatTrie.from_sequences_with_leaves(seqs)
+    ns, et, ec, _ = _dict_build_with_leaves(seqs)
+    oracle = FlatTrie(ns, et, ec)
+    probes = set()
+    for seq in seqs:
+        for k in range(len(seq) + 1):
+            probes.add(tuple(seq[:k]))
+            probes.add(tuple(seq[:k]) + (99,))
+    for pfx in probes:
+        assert trie.get(list(pfx)) == oracle.get(list(pfx)), pfx
+    assert trie.num_edges == oracle.num_edges
+    assert trie.num_nodes == oracle.num_nodes
+    # leaf contract: walking seq lands exactly on leaves[i]
+    for i, seq in enumerate(seqs):
+        if len(seq) == 0:
+            assert leaves[i] == -1
+            continue
+        node = 0
+        for tok in seq:
+            node = trie.step(node, tok)
+            assert node >= 0
+        assert node == leaves[i]
+    # equal sequences share leaves; distinct sequences get distinct ones
+    by_key = {}
+    for i, seq in enumerate(seqs):
+        if len(seq):
+            by_key.setdefault(tuple(seq), set()).add(int(leaves[i]))
+    seen = [v.pop() for v in by_key.values()]
+    assert all(not v for v in by_key.values())  # one leaf per key
+    assert len(set(seen)) == len(seen)  # distinct keys, distinct leaves
+
+
+def test_linear_builder_semantic_parity():
+    """Duplicates, shared prefixes, prefix-of-other, empties, unsorted
+    input order."""
+    _assert_semantic_parity([
+        [3, 1, 2], [3, 1], [3, 1, 2], [], [9], [3, 2, 7, 7],
+        [1], [1, 5], [1, 4, 6], [9, 0], [3, 1, 2, 8],
+    ])
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(
+        st.lists(st.integers(min_value=0, max_value=9),
+                 min_size=0, max_size=6),
+        min_size=0, max_size=40))
+    @settings(max_examples=120, deadline=None)
+    def test_linear_builder_property_parity(seqs):
+        _assert_semantic_parity(seqs)
+except ImportError:
+    pass
