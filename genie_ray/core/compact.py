@@ -450,3 +450,77 @@ class CompactWorld:
             max_input_tokens=max_input_tokens,
             decode_mode=decode_mode,
         )
+
+    # -- persistence (S6 "trie persist/share" extended to the full world:
+    # the driver-side build is minutes at the reference's 6M-surface
+    # magnitude — pay it once per catalog version, mmap-load it per run.
+    # The reference pickles its trie + dicts the same way,
+    # `trie.py:65-77` / `surface_forms_utils.py:250-262`) ----------------
+
+    def save_npz(self, path: str) -> None:
+        """One .npz of flat arrays — no pickle, loads zero-copy-ish."""
+        arrays = {
+            "vocab_blob": self.tokenizer._words.blob,
+            "vocab_offsets": self.tokenizer._words.offsets,
+        }
+        for name, trie in (("et", self.entities_trie),
+                           ("rt", self.relations_trie)):
+            for k, v in trie.to_arrays().items():
+                arrays[f"{name}_{k}"] = v
+        sl = self.surface_lookup
+        for j in range(len(sl._leaf_idx)):
+            arrays[f"sl{j}_leaf_idx"] = sl._leaf_idx[j]
+            arrays[f"sl{j}_blob"] = sl._surfaces[j].blob
+            arrays[f"sl{j}_offsets"] = sl._surfaces[j].offsets
+        arrays["sl_eos"] = np.asarray([sl._eos], np.int64)
+        for name, cat in (("ec", self.entities), ("rc", self.relations)):
+            arrays[f"{name}_ids_blob"] = cat.ids.blob
+            arrays[f"{name}_ids_offsets"] = cat.ids.offsets
+            arrays[f"{name}_surf_blob"] = cat.surfaces.blob
+            arrays[f"{name}_surf_offsets"] = cat.surfaces.offsets
+            arrays[f"{name}_prov"] = cat.prov_codes
+            arrays[f"{name}_by_surface"] = cat.by_surface
+            arrays[f"{name}_by_id"] = cat.by_id
+            legend_col = StrColumn.from_strings(cat.prov_legend)
+            arrays[f"{name}_legend_blob"] = legend_col.blob
+            arrays[f"{name}_legend_offsets"] = legend_col.offsets
+        np.savez(path, **arrays)
+
+    @classmethod
+    def load_npz(cls, path: str) -> "CompactWorld":
+        z = np.load(path)  # flat arrays only — no pickle anywhere
+
+        def col(prefix):
+            return StrColumn(z[f"{prefix}_blob"], z[f"{prefix}_offsets"])
+
+        def trie(name):
+            return FlatTrie.from_arrays({
+                k: z[f"{name}_{k}"]
+                for k in ("node_start", "edge_tokens", "edge_child")
+            })
+
+        def cat(name):
+            legend = col(f"{name}_legend")
+            return CompactCatalog(
+                col(f"{name}_ids"), col(f"{name}_surf"), z[f"{name}_prov"],
+                z[f"{name}_by_surface"], z[f"{name}_by_id"],
+                tuple(legend.get(i) for i in range(len(legend))),
+            )
+
+        e_trie, r_trie = trie("et"), trie("rt")
+        lookup = TrieSurfaceLookup(
+            tries=(e_trie, r_trie),
+            leaf_idxs=(z["sl0_leaf_idx"], z["sl1_leaf_idx"]),
+            surfaces=(StrColumn(z["sl0_blob"], z["sl0_offsets"]),
+                      StrColumn(z["sl1_blob"], z["sl1_offsets"])),
+            eos=int(z["sl_eos"][0]),
+        )
+        return cls(
+            tokenizer=CompactVocab(StrColumn(z["vocab_blob"],
+                                             z["vocab_offsets"])),
+            entities=cat("ec"),
+            relations=cat("rc"),
+            entities_trie=e_trie,
+            relations_trie=r_trie,
+            surface_lookup=lookup,
+        )

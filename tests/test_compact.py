@@ -148,6 +148,30 @@ def test_kg_pipeline_with_compact_world(ray_session, tmp_path):
     assert ta.equals(tb)
 
 
+def test_compact_world_npz_round_trip(worlds, tmp_path):
+    """save_npz/load_npz: the reloaded world is behaviorally identical —
+    extraction, lookups, catalogs (S6 persist contract, no pickle)."""
+    w, cw = worlds
+    path = str(tmp_path / "world.npz")
+    cw.save_npz(path)
+    lw = type(cw).load_npz(path)
+    docs = make_documents(n_docs=60).to_pylist()
+    e1, e2 = cw.make_extractor(), lw.make_extractor()
+    for d in docs:
+        assert e1.extract_triples(d["content"]) == e2.extract_triples(
+            d["content"]
+        )
+    for s in w.entities.surfaces()[:100]:
+        assert lw.entities.lookup_surface(s) == cw.entities.lookup_surface(s)
+        key = tuple(w.tokenizer.encode(f" {s}")[1:-1])
+        assert lw.surface_lookup.get(key) == s
+    for _id in list(w.entities.id2surface)[:100]:
+        assert lw.entities.lookup_id(_id, True) == cw.entities.lookup_id(
+            _id, True
+        )
+    assert len(lw.tokenizer) == len(cw.tokenizer)
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
