@@ -39,18 +39,24 @@ def cmd_extract(args) -> dict:
     from .pipelines.kg import KGConfig, run_kg_pipeline
     from .sources.wikidata import catalogs_from_dump
 
-    if args.catalog_dump:
+    if args.world_npz:
+        from .core.compact import CompactWorld
+
+        # persisted build (save_npz): skip catalog + world construction
+        world = CompactWorld.load_npz(args.world_npz)
+        entities = relations = None
+    elif args.catalog_dump:
         entities, relations = catalogs_from_dump(args.catalog_dump)
     else:
         entities, relations = make_catalogs()
-    if args.compact_world:
+    if entities is not None and args.compact_world:
         from .core.compact import CompactWorld
 
         # zero-copy broadcast — mandatory posture at paper-scale
         # catalogs (6M surfaces: 0.01 s/worker fetch vs 40-73 s for the
         # dict World; BASELINE.md round-5 stress)
         world = CompactWorld.build(entities, relations)
-    else:
+    elif entities is not None:
         world = World.build(entities, relations)
     cfg = KGConfig(
         num_partitions=args.num_partitions,
@@ -230,6 +236,11 @@ def main(argv=None) -> None:
                     help="broadcast the catalog world in the zero-copy "
                          "buffer form (use for catalogs beyond ~1M "
                          "surfaces; identical outputs)")
+    ex.add_argument("--world-npz", default=None,
+                    help="load a persisted CompactWorld (save_npz) "
+                         "instead of building from catalogs — pays the "
+                         "minutes-scale 6M-surface build once per "
+                         "catalog version")
     ex.set_defaults(fn=cmd_extract)
 
     ev = sub.add_parser("evaluate")
