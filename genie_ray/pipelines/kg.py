@@ -326,8 +326,13 @@ def run_kg_pipeline(
 
     cfg = cfg or KGConfig()
     if world is None:
+        from ..core.compact import CompactWorld
+
+        # default to the zero-copy buffer form: wall-identical at fixture
+        # scale, 0.01 s/worker instead of 40-73 s at the reference's 6M
+        # magnitude (BASELINE.md round-5 stress) — the scale-safe posture
         entities, relations = make_catalogs()
-        world = World.build(entities, relations)
+        world = CompactWorld.build(entities, relations)
     world_ref = put_world(world) if not isinstance(world, ray.ObjectRef) else world
 
     triples_dir = os.path.join(output_dir, "triples")
